@@ -1,0 +1,122 @@
+"""Shared command plumbing: cached loaders, input resolution.
+
+Reference: src-tauri/src/cmd/common.rs — cached loaders
+(load_cached/load_cached_full), ZIP/ASDF-transparent resolution,
+JWST calibration-reference ASDF rejection (common.rs:30-56), preview
+caps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from astroburst_tpu import io as aio
+from astroburst_tpu.dtypes import ImageStats
+from astroburst_tpu.errors import InvalidInput
+from astroburst_tpu.io.header import HduHeader
+from astroburst_tpu.ops.stats import compute_image_stats
+from astroburst_tpu.runtime.cache import GLOBAL_IMAGE_CACHE, CacheEntry
+
+MAX_PREVIEW_DIM = 4096       # common.rs:16
+MAX_RAW_PREVIEW_DIM = 2048   # io/mod.rs:178
+
+# JWST calibration-reference ASDF files are not images (common.rs:30-56)
+CALIB_PATTERNS = (
+    "distortion", "filteroffset", "sirskernel", "photom",
+    "flat", "dark", "bias", "readnoise", "gain", "linearity",
+    "saturation", "superbias", "ipc", "area", "specwcs",
+    "regions", "wavelengthrange", "trappars", "mask",
+)
+
+
+def reject_calibration_asdf(path: str) -> None:
+    if not path.lower().endswith(".asdf"):
+        return
+    name = os.path.basename(path).lower()
+    for pat in CALIB_PATTERNS:
+        if pat in name:
+            raise InvalidInput(
+                f"'{os.path.basename(path)}' looks like a JWST calibration "
+                f"reference file ({pat}), not an image")
+
+
+@dataclass
+class ResolvedImage:
+    arr: np.ndarray
+    header: HduHeader
+
+
+def extract_image_resolved(path: str) -> ResolvedImage:
+    """ZIP/dir/ASDF-transparent single image extraction (common.rs:75-90)."""
+    resolved = aio.resolve_single_image(path)
+    reject_calibration_asdf(resolved)
+    if resolved.lower().endswith(".asdf"):
+        from astroburst_tpu.io.asdf import extract_image_from_asdf
+        asdf_img = extract_image_from_asdf(resolved)
+        return ResolvedImage(asdf_img.image, asdf_img.header)
+    fi = aio.extract_image(resolved)
+    return ResolvedImage(fi.image, fi.header)
+
+
+def try_extract_rgb_resolved(path: str):
+    resolved = aio.resolve_single_image(path)
+    if resolved.lower().endswith(".asdf"):
+        return None
+    return aio.try_extract_rgb(resolved)
+
+
+def load_cached(path: str) -> CacheEntry:
+    """Device-array cache lookup keyed by path; computes stats on miss
+    (common.rs:124-150)."""
+    entry = GLOBAL_IMAGE_CACHE.get(path)
+    if entry is not None and entry.stats is not None:
+        return entry
+    resolved = extract_image_resolved(path)
+    entry = GLOBAL_IMAGE_CACHE.insert(path, resolved.arr, header=resolved.header)
+    entry.stats = compute_image_stats(entry.image)
+    return entry
+
+
+def load_cached_full(path: str) -> CacheEntry:
+    """Like load_cached but guarantees a header is attached."""
+    entry = GLOBAL_IMAGE_CACHE.get(path)
+    if entry is not None and entry.stats is not None and entry.header is not None:
+        return entry
+    resolved = extract_image_resolved(path)
+    entry = GLOBAL_IMAGE_CACHE.insert(path, resolved.arr, header=resolved.header)
+    entry.stats = compute_image_stats(entry.image)
+    return entry
+
+
+def load_from_cache_or_disk(key_or_path: str) -> CacheEntry:
+    """Accept a pinned cache key or a filesystem path (common.rs:124-150)."""
+    entry = GLOBAL_IMAGE_CACHE.get(key_or_path)
+    if entry is not None:
+        if entry.stats is None:
+            entry.stats = compute_image_stats(entry.image)
+        return entry
+    if key_or_path.startswith("__"):
+        from astroburst_tpu.errors import CacheMiss
+        raise CacheMiss(f"cache key not found: {key_or_path}")
+    return load_cached(key_or_path)
+
+
+class Timer:
+    def __init__(self):
+        self.t0 = time.monotonic()
+
+    def elapsed_ms(self) -> int:
+        return int((time.monotonic() - self.t0) * 1000)
+
+
+def png_path_for(path: str, output_dir: str, suffix: str = "") -> str:
+    stem = os.path.splitext(os.path.basename(path))[0] or "output"
+    if suffix:
+        stem = f"{stem}_{suffix}"
+    return os.path.join(output_dir, f"{stem}.png")

@@ -1,0 +1,115 @@
+"""Composite cache helpers, linked STF, preview rendering.
+
+Reference: src-tauri/src/cmd/helpers.rs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from astroburst_tpu import constants as C
+from astroburst_tpu.dtypes import AutoStfConfig, ImageStats, StfParams
+from astroburst_tpu.imaging.stf import apply_stf_u8, auto_stf
+from astroburst_tpu.io.png import save_gray_png, save_rgb_png
+from astroburst_tpu.ops.ipc import nearest_downsample
+from astroburst_tpu.runtime.cache import GLOBAL_IMAGE_CACHE
+
+
+def stats_json(stats: ImageStats) -> dict:
+    """Short stats payload (helpers.rs:146-154)."""
+    return {
+        C.RES_MIN: stats.min,
+        C.RES_MAX: stats.max,
+        C.RES_MEAN: stats.mean,
+        C.RES_SIGMA: stats.sigma,
+        C.RES_MEDIAN: stats.median,
+    }
+
+
+def stats_json_full(stats: ImageStats) -> dict:
+    """Stats payload incl. MAD (helpers.rs:156-165)."""
+    d = stats_json(stats)
+    d[C.RES_MAD] = stats.mad
+    return d
+
+
+def stf_json(stf: StfParams) -> dict:
+    return stf.to_dict()
+
+
+def insert_composite_and_orig(r, g, b, stats_r: ImageStats,
+                              stats_g: ImageStats,
+                              stats_b: ImageStats) -> None:
+    """Seed ORIG (immutable blend output) and KEY (working copy) with the
+    same device arrays — zero-copy like the reference's shared Arcs
+    (helpers.rs:127-144)."""
+    for key_orig, key_work, plane, st in [
+        (C.COMPOSITE_ORIG_R, C.COMPOSITE_KEY_R, r, stats_r),
+        (C.COMPOSITE_ORIG_G, C.COMPOSITE_KEY_G, g, stats_g),
+        (C.COMPOSITE_ORIG_B, C.COMPOSITE_KEY_B, b, stats_b),
+    ]:
+        entry = GLOBAL_IMAGE_CACHE.insert(key_orig, plane, stats=st)
+        # same device buffer in both keys
+        GLOBAL_IMAGE_CACHE.insert(key_work, entry.image, stats=st)
+
+
+def compute_linked_stf_with_stats(
+        stats_r: ImageStats, stats_g: ImageStats, stats_b: ImageStats,
+        config: AutoStfConfig = AutoStfConfig()) -> Tuple[StfParams, ImageStats]:
+    """Linked STF from merged channel statistics (helpers.rs:185-202)."""
+    combined = ImageStats(
+        min=min(stats_r.min, stats_g.min, stats_b.min),
+        max=max(stats_r.max, stats_g.max, stats_b.max),
+        mean=(stats_r.mean + stats_g.mean + stats_b.mean) / 3.0,
+        median=(stats_r.median + stats_g.median + stats_b.median) / 3.0,
+        sigma=math.sqrt((stats_r.sigma ** 2 + stats_g.sigma ** 2 +
+                         stats_b.sigma ** 2) / 3.0),
+        mad=(stats_r.mad + stats_g.mad + stats_b.mad) / 3.0,
+        valid_count=stats_r.valid_count,
+    )
+    return auto_stf(combined, config), combined
+
+
+def compute_linked_stf(stats_r, stats_g, stats_b,
+                       config: AutoStfConfig = AutoStfConfig()) -> StfParams:
+    return compute_linked_stf_with_stats(stats_r, stats_g, stats_b, config)[0]
+
+
+def save_preview_png(u8_plane, path: str,
+                     max_dim: int = 4096) -> None:
+    """Downsample (device) + save mono preview."""
+    small = nearest_downsample(u8_plane, max_dim)
+    save_gray_png(np.asarray(small), path)
+
+
+def render_rgb_preview_with_stf(r, g, b, stf_r: StfParams, stf_g: StfParams,
+                                stf_b: StfParams, stats_r: ImageStats,
+                                stats_g: ImageStats, stats_b: ImageStats,
+                                path: str, max_dim: int = 4096) -> None:
+    """STF-map each channel on device, downsample, save RGB PNG
+    (helpers.rs:264-322)."""
+    planes = []
+    for plane, stf, st in ((r, stf_r, stats_r), (g, stf_g, stats_g),
+                           (b, stf_b, stats_b)):
+        u8 = apply_stf_u8(plane, stf, st)
+        planes.append(np.asarray(nearest_downsample(u8, max_dim)))
+    save_rgb_png(planes[0], planes[1], planes[2], path)
+
+
+def render_rgb_preview(r_stretched, g_stretched, b_stretched, path: str,
+                       max_dim: int = 4096) -> None:
+    """Assume planes already stretched to [0,1]; quantize + save
+    (helpers.rs:204-262)."""
+    @jax.jit
+    def to_u8(x):
+        return jnp.clip(jnp.round(
+            jnp.where(jnp.isfinite(x), x, 0.0) * 255.0), 0, 255).astype(jnp.uint8)
+
+    planes = [np.asarray(nearest_downsample(to_u8(p), max_dim))
+              for p in (r_stretched, g_stretched, b_stretched)]
+    save_rgb_png(planes[0], planes[1], planes[2], path)

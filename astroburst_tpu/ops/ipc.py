@@ -1,0 +1,56 @@
+"""Binary pixel protocol for raw previews.
+
+Reference: src-tauri/src/infra/ipc.rs — 16-byte header
+[w: u32, h: u32, min: f32, max: f32] little-endian, then raw f32
+pixels; NaN/inf scrubbed to 0; nearest-neighbor downsample to a max
+dimension (ipc.rs:105-147). The scan and scrub run on device; only the
+downsampled plane crosses to the host.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _scrub_and_scan(x: jax.Array):
+    finite = jnp.isfinite(x)
+    clean = jnp.where(finite, x, 0.0)
+    mn = jnp.min(jnp.where(finite, x, jnp.inf))
+    mx = jnp.max(jnp.where(finite, x, -jnp.inf))
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    return clean, mn, mx
+
+
+def nearest_downsample(x: jax.Array, max_dim: int) -> jax.Array:
+    """Strided nearest-neighbor downsample to fit max_dim.
+
+    Uses an integer stride (fast lazy slice on TPU) rather than the
+    reference's exact-ratio index map — output is ≤ max_dim either way.
+    """
+    h, w = x.shape
+    if h <= max_dim and w <= max_dim:
+        return x
+    stride = -(-max(h, w) // max_dim)
+    return x[::stride, ::stride]
+
+
+def encode_with_header_downsampled(x: jax.Array, max_dim: int) -> bytes:
+    small = nearest_downsample(x, max_dim)
+    clean, mn, mx = _scrub_and_scan(small)
+    arr = np.asarray(clean, dtype="<f4")
+    h, w = arr.shape
+    header = struct.pack("<IIff", w, h, float(mn), float(mx))
+    return header + arr.tobytes()
+
+
+def decode_binary_pixels(data: bytes):
+    """Inverse of encode_with_header_downsampled (for tests/clients)."""
+    w, h, mn, mx = struct.unpack("<IIff", data[:16])
+    arr = np.frombuffer(data[16:], dtype="<f4").reshape(h, w)
+    return arr, mn, mx
