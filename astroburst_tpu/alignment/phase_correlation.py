@@ -1,0 +1,202 @@
+"""FFT phase correlation with coarse-to-fine refinement.
+
+Reference: src-tauri/src/core/alignment/phase_correlation.rs —
+Hann-windowed buffers → FFT → ε-guarded cross-power → inverse FFT →
+peak + SNR confidence → circular unwrap + 3-point quadratic subpixel
+(math/subpixel.rs:84), coarse pass capped at 512², refinement on 512²
+centered crops.
+
+TPU re-design: the whole coarse-to-fine pipeline is one jit per input
+shape — matmul FFTs (ops.fft), matmul area-downsample, dynamic-slice
+crops with clamped starts (the reference shrinks edge crops and skips
+refinement on mismatch; we clamp so the refine always runs at 512²).
+Batched use (vmap over a frame axis) is supported by `correlate_single`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from astroburst_tpu.ops import fft as F
+from astroburst_tpu.ops.resample import area_downsample
+from astroburst_tpu.ops.window import hann_periodic
+
+COARSE_MAX_DIM = 512        # phase_correlation.rs:10
+REFINE_CROP_SIZE = 512      # phase_correlation.rs:11
+CONFIDENCE_THRESHOLD = 2.0  # phase_correlation.rs:12
+EPSILON = 1e-15
+
+
+@dataclass(frozen=True)
+class PhaseCorrelationResult:
+    dy: float
+    dx: float
+    confidence: float
+
+
+def is_low_confidence(confidence: float) -> bool:
+    return confidence < CONFIDENCE_THRESHOLD
+
+
+def _is_constant_or_zero(img):
+    """finite_count < 16 or range < 1e-10 (phase_correlation.rs:143-161)."""
+    finite = jnp.isfinite(img)
+    cnt = jnp.sum(finite.astype(jnp.int32), axis=(-2, -1))
+    mn = jnp.min(jnp.where(finite, img, jnp.inf), axis=(-2, -1))
+    mx = jnp.max(jnp.where(finite, img, -jnp.inf), axis=(-2, -1))
+    return (cnt < 16) | (jnp.abs(mx - mn) < 1e-10)
+
+
+def _windowed_padded(img, fft_rows: int, fft_cols: int):
+    """Hann-window (zeroing non-finite) and zero-pad (fft.rs:202-226)."""
+    rows, cols = img.shape[-2], img.shape[-1]
+    wy = jnp.asarray(hann_periodic(rows))
+    wx = jnp.asarray(hann_periodic(cols))
+    vals = jnp.where(jnp.isfinite(img), img, 0.0)
+    vals = vals * wy[:, None] * wx[None, :]
+    pad = [(0, 0)] * (img.ndim - 2) + [(0, fft_rows - rows),
+                                       (0, fft_cols - cols)]
+    return jnp.pad(vals, pad)
+
+
+def _peak_neighbors(corr, py, px):
+    """Wraparound prev/next values on both axes (subpixel.rs:28-64)."""
+    rows, cols = corr.shape[-2], corr.shape[-1]
+    flat = corr.reshape(*corr.shape[:-2], rows * cols)
+
+    def at(y, x):
+        idx = y * cols + x
+        return jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+
+    center = at(py, px)
+    y_prev = at((py - 1) % rows, px)
+    y_next = at((py + 1) % rows, px)
+    x_prev = at(py, (px - 1) % cols)
+    x_next = at(py, (px + 1) % cols)
+    return center, y_prev, y_next, x_prev, x_next
+
+
+def _quadratic(prev, center, nxt):
+    """3-point parabola vertex, clamped to ±0.5 (subpixel.rs:18-26)."""
+    denom = 2.0 * (2.0 * center - prev - nxt)
+    off = jnp.where(jnp.abs(denom) < 1e-15, 0.0, (prev - nxt) /
+                    jnp.where(jnp.abs(denom) < 1e-15, 1.0, denom))
+    return jnp.clip(off, -0.5, 0.5)
+
+
+def correlate_single(a, b):
+    """Single-scale phase correlation; supports leading batch dims.
+
+    Returns traced (dy, dx, confidence) f32 scalars (or batched).
+    """
+    rows, cols = a.shape[-2], a.shape[-1]
+    fft_rows = F.next_power_of_two(rows)
+    fft_cols = F.next_power_of_two(cols)
+
+    fa = _windowed_padded(a, fft_rows, fft_cols)
+    fb = _windowed_padded(b, fft_rows, fft_cols)
+    zeros = jnp.zeros_like(fa)
+    far, fai = F.fft2(fa, zeros)
+    fbr, fbi = F.fft2(fb, jnp.zeros_like(fb))
+    # Fb·conj(Fa): with b displaced by (+dy, +dx) relative to a, the
+    # inverse-FFT peak lands at (+dy, +dx), so shift_bicubic(b, dy, dx)
+    # maps b back onto a — the contract the reference's align loop
+    # relies on (core/stacking/align.rs:92-105).
+    cr, ci = F.cross_power(fbr, fbi, far, fai, EPSILON)
+    corr, _ = F.ifft2(cr, ci)
+
+    py, px, peak_val = F.find_peak(corr)
+    n = fft_rows * fft_cols
+    mean = jnp.sum(corr, axis=(-2, -1)) / n
+    var = jnp.sum((corr - mean[..., None, None]) ** 2, axis=(-2, -1)) / max(
+        n - 1, 1)
+    sigma = jnp.sqrt(var)
+    confidence = jnp.where(jnp.abs(sigma) < 1e-15, 0.0,
+                           (peak_val - mean) / jnp.maximum(sigma, 1e-30))
+
+    center, yp, yn, xp, xn = _peak_neighbors(corr, py, px)
+    sub_dy = _quadratic(yp, center, yn)
+    sub_dx = _quadratic(xp, center, xn)
+    raw_dy = jnp.where(py > fft_rows // 2, py - fft_rows, py).astype(jnp.float32)
+    raw_dx = jnp.where(px > fft_cols // 2, px - fft_cols, px).astype(jnp.float32)
+
+    dy = raw_dy + sub_dy
+    dx = raw_dx + sub_dx
+
+    bad = _is_constant_or_zero(a) | _is_constant_or_zero(b)
+    zero = jnp.zeros_like(dy)
+    return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
+            jnp.where(bad, zero, confidence))
+
+
+def _centered_crop_static(img, size: int):
+    rows, cols = img.shape[-2], img.shape[-1]
+    y0 = max(rows // 2 - size // 2, 0)
+    x0 = max(cols // 2 - size // 2, 0)
+    return img[..., y0:y0 + min(size, rows), x0:x0 + min(size, cols)]
+
+
+def _dynamic_crop(img, cy, cx, size: int):
+    rows, cols = img.shape[-2], img.shape[-1]
+    y0 = jnp.clip(cy - size // 2, 0, max(rows - size, 0))
+    x0 = jnp.clip(cx - size // 2, 0, max(cols - size, 0))
+    return jax.lax.dynamic_slice(
+        img, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
+        (min(size, rows), min(size, cols)))
+
+
+@jax.jit
+def _phase_correlate_traced(ref, tgt):
+    """Full coarse-to-fine pipeline on device; 2D inputs, equal shapes."""
+    rows, cols = ref.shape
+    if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
+        return correlate_single(ref, tgt)
+
+    ds_rows = min(COARSE_MAX_DIM, rows)
+    ds_cols = min(COARSE_MAX_DIM, cols)
+    scale_y = rows / ds_rows
+    scale_x = cols / ds_cols
+
+    cdy, cdx, cconf = correlate_single(
+        area_downsample(ref, ds_rows, ds_cols),
+        area_downsample(tgt, ds_rows, ds_cols))
+    coarse_dy = cdy * scale_y
+    coarse_dx = cdx * scale_x
+
+    ref_cy = rows // 2
+    ref_cx = cols // 2
+    tgt_cy = jnp.clip(jnp.round(ref_cy + coarse_dy), 0, rows - 1).astype(jnp.int32)
+    tgt_cx = jnp.clip(jnp.round(ref_cx + coarse_dx), 0, cols - 1).astype(jnp.int32)
+
+    ref_crop = _centered_crop_static(ref, REFINE_CROP_SIZE)
+    tgt_crop = _dynamic_crop(tgt, tgt_cy, tgt_cx, REFINE_CROP_SIZE)
+    # account for the actual crop origins (clamping can move them)
+    ref_y0 = max(rows // 2 - REFINE_CROP_SIZE // 2, 0)
+    ref_x0 = max(cols // 2 - REFINE_CROP_SIZE // 2, 0)
+    tgt_y0 = jnp.clip(tgt_cy - REFINE_CROP_SIZE // 2, 0,
+                      max(rows - REFINE_CROP_SIZE, 0))
+    tgt_x0 = jnp.clip(tgt_cx - REFINE_CROP_SIZE // 2, 0,
+                      max(cols - REFINE_CROP_SIZE, 0))
+
+    rdy, rdx, rconf = correlate_single(ref_crop, tgt_crop)
+    dy = (tgt_y0 - ref_y0).astype(jnp.float32) + rdy
+    dx = (tgt_x0 - ref_x0).astype(jnp.float32) + rdx
+
+    bad = _is_constant_or_zero(ref) | _is_constant_or_zero(tgt)
+    zero = jnp.float32(0.0)
+    return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
+            jnp.where(bad, zero, rconf))
+
+
+def phase_correlate(reference, target) -> PhaseCorrelationResult:
+    """Host-level API: crops to common dims, runs the device pipeline."""
+    rows = min(reference.shape[0], target.shape[0])
+    cols = min(reference.shape[1], target.shape[1])
+    ref = jnp.asarray(reference)[:rows, :cols]
+    tgt = jnp.asarray(target)[:rows, :cols]
+    dy, dx, conf = _phase_correlate_traced(ref, tgt)
+    return PhaseCorrelationResult(float(dy), float(dx), float(conf))

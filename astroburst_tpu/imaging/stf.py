@@ -100,3 +100,37 @@ def apply_stf_u8(x: jax.Array, params: StfParams,
                  stats: ImageStats) -> jax.Array:
     """STF'd u8 plane for rendering; invalid → black (stf.rs:89-102)."""
     return _apply_stf_u8(x, *_params_scalars(params, stats))
+
+
+# --- traced variants for fused device pipelines -----------------------------
+
+
+def auto_stf_traced(dmin, dmax, median, sigma, valid_count,
+                    target_bg: float = 0.25, shadow_k: float = -2.8):
+    """auto_stf with traced scalar inputs; returns (shadow, midtone)."""
+    rng = jnp.maximum(dmax - dmin, 1e-30)
+    median_norm = (median - dmin) / rng
+    sigma_norm = sigma / rng
+    shadow = jnp.clip(median_norm + shadow_k * sigma_norm, 0.0, 0.98)
+    clip_range = jnp.maximum(1.0 - shadow, 1e-15)
+    m = jnp.clip((median_norm - shadow) / clip_range, 0.0, 1.0)
+    denom = 2.0 * target_bg * m - target_bg - m
+    balanced = jnp.clip(m * (target_bg - 1.0) /
+                        jnp.where(jnp.abs(denom) < 1e-15, 1.0, denom),
+                        0.0001, 0.9999)
+    midtone = jnp.where((m <= 0.0) | (m >= 1.0) | (jnp.abs(denom) < 1e-15),
+                        0.5, balanced)
+    invalid = valid_count == 0
+    return (jnp.where(invalid, 0.0, shadow).astype(jnp.float32),
+            jnp.where(invalid, 0.5, midtone).astype(jnp.float32))
+
+
+def apply_stf_traced(x, dmin, dmax, shadow, midtone, as_u8: bool = False):
+    """Elementwise STF with traced parameters (highlight = 1)."""
+    inv_range = 1.0 / jnp.maximum(dmax - dmin, 1e-30)
+    inv_clip = 1.0 / jnp.maximum(1.0 - shadow, 1e-15)
+    out = _stf_core(x, dmin, inv_range, shadow, inv_clip, midtone)
+    if as_u8:
+        q = jnp.clip(jnp.round(out * 255.0), 0.0, 255.0)
+        return jnp.where(validity_mask(x), q, 0.0).astype(jnp.uint8)
+    return jnp.where(validity_mask(x), out, 0.0).astype(jnp.float32)

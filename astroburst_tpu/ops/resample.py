@@ -1,0 +1,109 @@
+"""Resampling primitives: subpixel shift, area downsample.
+
+TPU formulation notes (see DESIGN.md): elementwise gathers cost
+~12 ns/px on this backend, but whole-row/column axis-takes are fast.
+A *global* subpixel translation has constant Catmull-Rom weights, so
+bicubic shift = 8 clamped axis-takes + weighted adds (separable),
+fully traceable (dy/dx can be device scalars). Area downsampling with
+non-integer ratios is two dense averaging matmuls on the MXU.
+
+Reference semantics: core/imaging/sampling.rs (Catmull-Rom, clamped
+taps), core/stacking/align.rs:36-57 (out-of-bounds → 0, the ±0.5
+boundary rule), core/alignment/downsample.rs (NaN-aware box average).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def catmull_rom(t):
+    """Catmull-Rom kernel, vectorized (sampling.rs:4-13)."""
+    a = jnp.abs(t)
+    inner = a * a * (1.5 * a - 2.5) + 1.0
+    outer = a * (a * (2.5 - 0.5 * a) - 4.0) + 2.0
+    return jnp.where(a <= 1.0, inner, jnp.where(a <= 2.0, outer, 0.0))
+
+
+def _axis_take_clamped(x, shift, offset: int, axis: int):
+    n = x.shape[axis]
+    idx = jnp.clip(jnp.arange(n) + shift + offset, 0, n - 1)
+    return jnp.take(x, idx, axis=axis)
+
+
+def shift_bicubic(img: jax.Array, dy, dx) -> jax.Array:
+    """out[y, x] = bicubic(img, y + dy, x + dx); zero where the source
+    center falls outside [-0.5, n-0.5] (align.rs:36-57).
+
+    dy/dx may be traced scalars — the whole op lives inside jit.
+    """
+    dy = jnp.asarray(dy, jnp.float32)
+    dx = jnp.asarray(dx, jnp.float32)
+    ky = jnp.floor(dy).astype(jnp.int32)
+    kx = jnp.floor(dx).astype(jnp.int32)
+    fy = dy - ky.astype(jnp.float32)
+    fx = dx - kx.astype(jnp.float32)
+
+    rows, cols = img.shape[-2], img.shape[-1]
+    axis_y = img.ndim - 2
+    axis_x = img.ndim - 1
+
+    tmp = None
+    for j in range(4):
+        w = catmull_rom(fy - (j - 1))
+        term = w * _axis_take_clamped(img, ky, j - 1, axis_y)
+        tmp = term if tmp is None else tmp + term
+    out = None
+    for i in range(4):
+        w = catmull_rom(fx - (i - 1))
+        term = w * _axis_take_clamped(tmp, kx, i - 1, axis_x)
+        out = term if out is None else out + term
+
+    y = jnp.arange(rows, dtype=jnp.float32)[:, None]
+    x = jnp.arange(cols, dtype=jnp.float32)[None, :]
+    sy = y + dy
+    sx = x + dx
+    inside = ((sy >= -0.5) & (sy <= rows - 0.5) &
+              (sx >= -0.5) & (sx <= cols - 0.5))
+    return jnp.where(inside, out, 0.0)
+
+
+def shift_bicubic_batch(stack: jax.Array, dys, dxs) -> jax.Array:
+    """Per-frame global shifts over a [N, H, W] stack."""
+    return jax.vmap(shift_bicubic)(stack, dys, dxs)
+
+
+@lru_cache(maxsize=None)
+def _box_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] 0/1 box-membership matrix (downsample.rs:19-27)."""
+    scale = n_in / n_out
+    m = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        y0 = min(max(int(np.floor(o * scale)), 0), n_in - 1)
+        y1_raw = int(np.ceil((o + 1) * scale))
+        y1 = 0 if y1_raw <= 0 else min(y1_raw, n_in)
+        m[o, y0:y1] = 1.0
+    return m
+
+
+@partial(jax.jit, static_argnames=("out_rows", "out_cols"))
+def area_downsample(img: jax.Array, out_rows: int, out_cols: int) -> jax.Array:
+    """NaN-aware box-average downsample as two MXU matmuls."""
+    in_rows, in_cols = img.shape
+    if (in_rows, in_cols) == (out_rows, out_cols):
+        return img
+    my = jnp.asarray(_box_matrix(in_rows, out_rows))
+    mx = jnp.asarray(_box_matrix(in_cols, out_cols))
+    finite = jnp.isfinite(img)
+    vals = jnp.where(finite, img, 0.0)
+    s = jnp.matmul(jnp.matmul(my, vals, precision=_HIGHEST), mx.T,
+                   precision=_HIGHEST)
+    c = jnp.matmul(jnp.matmul(my, finite.astype(jnp.float32),
+                              precision=_HIGHEST), mx.T, precision=_HIGHEST)
+    return jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)

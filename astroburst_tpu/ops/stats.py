@@ -25,8 +25,12 @@ from astroburst_tpu.ops.quantile import _count_below_edges, masked_median_mad
 EXACT_PATH_MAX_PIXELS = 4_000_000  # stats.rs:18
 
 
-@partial(jax.jit, static_argnames=("exact_pair",))
-def _stats_kernel(x: jax.Array, exact_pair: bool):
+def stats_core(x: jax.Array, exact_pair: bool):
+    """Pure traced stats: (min, max, sum, count, median, mad).
+
+    Composable inside larger jitted pipelines; `_stats_kernel` is the
+    standalone jitted entry point.
+    """
     flat = x.reshape(-1)
     mask = validity_mask(flat)
     count = jnp.sum(mask.astype(jnp.int32))
@@ -36,6 +40,9 @@ def _stats_kernel(x: jax.Array, exact_pair: bool):
     mx = jnp.max(jnp.where(mask, flat, -jnp.inf))
     med, mad = masked_median_mad(xm, count, mn, mx, exact_pair=exact_pair)
     return mn, mx, total, count, med, mad
+
+
+_stats_kernel = jax.jit(stats_core, static_argnames=("exact_pair",))
 
 
 def compute_image_stats(x: jax.Array) -> ImageStats:
