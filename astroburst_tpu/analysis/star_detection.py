@@ -1,0 +1,303 @@
+"""Star detection.
+
+Reference: src-tauri/src/core/analysis/star_detection.rs — tile-based
+sigma-clipped background, threshold at bg + σ·k, 8-connected flood-fill
+components of 3..5000 px, flux-weighted centroid, second-moment
+FWHM = 2.3548·σ, eigenvalue eccentricity, SNR = peak/bg_σ,
+brightest-first 3 px dedup.
+
+TPU re-design (flood fill is inherently sequential):
+1. background: tiles → per-tile sort → sigma clip as a *contiguous
+   sorted interval* (the clip window [med−kσ, med+kσ] is contiguous in
+   sorted order), median/MAD by rank arithmetic + binary-searched
+   deviation radius — all vmapped over tiles.
+2. peaks: 3×3 local maxima above threshold (shifted-max stencil),
+   top-K by peak value.
+3. per-peak fixed windows (vmapped dynamic_slice) → in-window
+   connectivity by iterative masked 3×3 dilation from the center
+   (bounded flood fill) → masked moments: same outputs as the
+   reference's component statistics.
+4. host-side brightest-first 3 px grid dedup over ≤K candidates.
+
+The output record and every filter (npix ∈ [3,5000], FWHM ∈ [0.5,30],
+flux > 0) match star_detection.rs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from astroburst_tpu.constants import MAD_TO_SIGMA, PADDING_THRESHOLD
+
+FWHM_FACTOR = 2.3548200450309493
+MAX_PEAKS = 1024
+WINDOW = 41  # covers FWHM ≤ 30 components (σ ≤ 12.7)
+
+
+@dataclass
+class DetectedStar:
+    x: float
+    y: float
+    flux: float
+    fwhm: float
+    eccentricity: float
+    peak: float
+    npix: int
+    snr: float
+
+    def to_dict(self) -> dict:
+        return {"x": self.x, "y": self.y, "flux": self.flux,
+                "fwhm": self.fwhm, "eccentricity": self.eccentricity,
+                "peak": self.peak, "npix": self.npix, "snr": self.snr}
+
+
+@dataclass
+class DetectionResult:
+    stars: List[DetectedStar]
+    background_median: float
+    background_sigma: float
+    threshold_sigma: float
+    image_width: int
+    image_height: int
+
+
+# --- tile background ---------------------------------------------------------
+
+
+def _interval_median(sorted_rows, lo, hi):
+    """Median of sorted_rows[t, lo[t]:hi[t]] with even-count averaging
+    (math/median.rs:27-43)."""
+    cnt = hi - lo
+    i1 = lo + jnp.maximum((cnt - 1) // 2, 0)
+    i2 = lo + jnp.maximum(cnt // 2, 0)
+    v1 = jnp.take_along_axis(sorted_rows, i1[:, None], axis=1)[:, 0]
+    v2 = jnp.take_along_axis(sorted_rows, i2[:, None], axis=1)[:, 0]
+    return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0)
+
+
+def _interval_mad(sorted_rows, lo, hi, med, data_range):
+    """Median absolute deviation of the interval via binary search on
+    the deviation radius (35 rounds ⇒ range·2⁻³⁵ resolution)."""
+    cnt = hi - lo
+    n = jnp.maximum(cnt, 1)
+    # target ranks (0-based) for the two middles of the deviation set
+    k1 = (n - 1) // 2
+    k2 = n // 2
+
+    def count_within(r):
+        a = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))(
+            sorted_rows, med - r)
+        b = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="right"))(
+            sorted_rows, med + r)
+        return jnp.minimum(b, hi) - jnp.maximum(a, lo)
+
+    def solve(k):
+        lo_r = jnp.zeros_like(med)
+        hi_r = jnp.broadcast_to(data_range, med.shape)
+        for _ in range(35):
+            mid = (lo_r + hi_r) * 0.5
+            c = count_within(mid)
+            ok = c >= (k + 1)
+            hi_r = jnp.where(ok, mid, hi_r)
+            lo_r = jnp.where(ok, lo_r, mid)
+        return hi_r
+
+    return jnp.where(cnt > 0, (solve(k1) + solve(k2)) * 0.5, 0.0)
+
+
+def _tile_sigma_clipped(sorted_rows, valid_counts, data_range,
+                        kappa: float = 3.0, iterations: int = 2):
+    """Vectorized sigma_clipped_stats (math/sigma_clip.rs:4-34) over
+    pre-sorted tile rows; the retained set stays a contiguous interval."""
+    t = sorted_rows.shape[0]
+    lo = jnp.zeros(t, jnp.int32)
+    hi = valid_counts.astype(jnp.int32)
+    for _ in range(iterations):
+        active = (hi - lo) >= 3
+        med = _interval_median(sorted_rows, lo, hi)
+        mad = _interval_mad(sorted_rows, lo, hi, med, data_range)
+        sig = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
+        new_lo = jax.vmap(lambda row, v: jnp.searchsorted(row, v, "left"))(
+            sorted_rows, (med - kappa * sig).astype(jnp.float32))
+        new_hi = jax.vmap(lambda row, v: jnp.searchsorted(row, v, "right"))(
+            sorted_rows, (med + kappa * sig).astype(jnp.float32))
+        lo = jnp.where(active, jnp.maximum(new_lo.astype(jnp.int32), lo), lo)
+        hi = jnp.where(active, jnp.minimum(new_hi.astype(jnp.int32), hi), hi)
+    empty = hi <= lo
+    med = _interval_median(sorted_rows, lo, hi)
+    mad = _interval_mad(sorted_rows, lo, hi, med, data_range)
+    sig = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
+    return (jnp.where(empty, 0.0, med), jnp.where(empty, 1.0, sig))
+
+
+@partial(jax.jit, static_argnames=("tile_size",))
+def _estimate_background_kernel(image: jax.Array, tile_size: int):
+    rows, cols = image.shape
+    step = max(tile_size, 16)
+    ty = -(-rows // step)
+    tx = -(-cols // step)
+    padded = jnp.pad(image, ((0, ty * step - rows), (0, tx * step - cols)),
+                     constant_values=jnp.nan)
+    tiles = padded.reshape(ty, step, tx, step).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ty * tx, step * step)
+    valid = jnp.isfinite(tiles) & (tiles > PADDING_THRESHOLD)
+    counts = jnp.sum(valid.astype(jnp.int32), axis=1)
+    sorted_rows = jnp.sort(jnp.where(valid, tiles, jnp.inf), axis=1)
+    mn = jnp.min(jnp.where(valid, tiles, jnp.inf))
+    mx = jnp.max(jnp.where(valid, tiles, -jnp.inf))
+    rng = jnp.maximum(mx - mn, 1e-30)
+    med, sig = _tile_sigma_clipped(sorted_rows, counts, rng)
+    # tiles with <8 valid pixels are excluded (star_detection.rs:60)
+    ok = counts >= 8
+    n_ok = jnp.sum(ok.astype(jnp.int32))
+    meds = jnp.sort(jnp.where(ok, med, jnp.inf))
+    sigs = jnp.sort(jnp.where(ok, sig, jnp.inf))
+    g_med = meds[jnp.maximum(n_ok // 2, 0)]
+    g_sig = sigs[jnp.maximum(n_ok // 2, 0)]
+    none = n_ok == 0
+    return (jnp.where(none, 0.0, g_med),
+            jnp.where(none, 1.0, jnp.maximum(g_sig, 1e-10)))
+
+
+def estimate_background(image, tile_size: int):
+    med, sig = _estimate_background_kernel(jnp.asarray(image), tile_size)
+    return float(med), float(sig)
+
+
+# --- peak detection + windowed moments ---------------------------------------
+
+
+def _local_maxima(img, mask):
+    """mask & (img strictly ≥ all 8 neighbors, > at least by position)."""
+    neg = jnp.full_like(img, -jnp.inf)
+    best = img
+    strict = jnp.ones_like(mask)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = jnp.roll(img, (dy, dx), axis=(0, 1))
+            # ties broken toward the lexicographically-first pixel so a
+            # flat plateau yields a single peak
+            if (dy, dx) < (0, 0):
+                strict = strict & (img > shifted)
+            else:
+                strict = strict & (img >= shifted)
+    # kill the 1-px border like the reference's 1..rows-1 scan
+    strict = strict.at[0, :].set(False).at[-1, :].set(False)
+    strict = strict.at[:, 0].set(False).at[:, -1].set(False)
+    return mask & strict
+
+
+@partial(jax.jit, static_argnames=("max_peaks", "window"))
+def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
+                   sigma_threshold: float, max_peaks: int = MAX_PEAKS,
+                   window: int = WINDOW):
+    rows, cols = image.shape
+    threshold = bg_med + sigma_threshold * bg_sig
+    finite = jnp.isfinite(image)
+    above = finite & (image > threshold)
+
+    peaks = _local_maxima(jnp.where(finite, image, -jnp.inf), above)
+    score = jnp.where(peaks, image, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(score, max_peaks)
+    py = idx // cols
+    px = idx % cols
+    is_peak = jnp.isfinite(vals)
+
+    half = window // 2
+    padded = jnp.pad(image, half, constant_values=jnp.nan)
+
+    def analyze(y, x):
+        win = jax.lax.dynamic_slice(padded, (y, x), (window, window))
+        wfinite = jnp.isfinite(win)
+        wabove = wfinite & (win > threshold)
+        # bounded flood fill from the center: iterative 3×3 dilation
+        member = jnp.zeros((window, window), bool).at[half, half].set(True)
+        for _ in range(half):
+            m = jnp.pad(member, 1)  # zero-pad: no wraparound connectivity
+            grown = member
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    if dy == 1 and dx == 1:
+                        continue
+                    grown = grown | m[dy:dy + window, dx:dx + window]
+            member = grown & wabove
+        v = jnp.where(member, jnp.maximum(win - bg_med, 0.0), 0.0)
+        npix = jnp.sum(member.astype(jnp.int32))
+        flux = jnp.sum(v)
+        yy = jnp.arange(window, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(window, dtype=jnp.float32)[None, :]
+        safe_flux = jnp.maximum(flux, 1e-30)
+        cy = jnp.sum(yy * v) / safe_flux
+        cx = jnp.sum(xx * v) / safe_flux
+        dy = yy - cy
+        dx = xx - cx
+        r2 = jnp.sum((dx * dx + dy * dy) * v)
+        sxx = jnp.sum(dx * dx * v) / safe_flux
+        syy = jnp.sum(dy * dy * v) / safe_flux
+        sxy = jnp.sum(dx * dy * v) / safe_flux
+        sigma_star = jnp.sqrt(r2 / (2.0 * safe_flux))
+        fwhm = sigma_star * FWHM_FACTOR
+        trace = sxx + syy
+        det = jnp.maximum(sxx * syy - sxy * sxy, 0.0)
+        disc = jnp.sqrt(jnp.maximum(trace * trace / 4.0 - det, 0.0))
+        l1 = trace / 2.0 + disc
+        l2 = jnp.maximum(trace / 2.0 - disc, 0.0)
+        ecc = jnp.where(l1 > 1e-15,
+                        jnp.clip(jnp.sqrt(jnp.maximum(1.0 - l2 / l1, 0.0)),
+                                 0.0, 1.0), 0.0)
+        peak_val = jnp.max(v)
+        return (cy + (y - half), cx + (x - half), flux, fwhm, ecc, peak_val,
+                npix, jnp.where(bg_sig <= 1e-300, 0.0, peak_val / bg_sig))
+
+    cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs = jax.vmap(analyze)(
+        py.astype(jnp.int32), px.astype(jnp.int32))
+
+    valid = (is_peak & (npixs >= 3) & (npixs <= 5000) & (fluxes > 0.0) &
+             (fwhms >= 0.5) & (fwhms <= 30.0))
+    return cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs, valid
+
+
+def detect_stars(image, sigma_threshold: float = 5.0,
+                 max_peaks: int = MAX_PEAKS) -> DetectionResult:
+    """Full detection pipeline (star_detection.rs:86-248)."""
+    img = jnp.asarray(image, dtype=jnp.float32)
+    rows, cols = img.shape
+    if rows < 3 or cols < 3:
+        return DetectionResult([], 0.0, 1.0, sigma_threshold, cols, rows)
+
+    tile_size = min(max(min(rows, cols) // 8, 32), 256)
+    bg_med, bg_sig = _estimate_background_kernel(img, tile_size)
+    out = _detect_kernel(img, bg_med, bg_sig, float(sigma_threshold),
+                         max_peaks)
+    cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs, valid = [
+        np.asarray(a) for a in out]
+
+    order = np.argsort(-fluxes)  # brightest first (star_detection.rs:215)
+    stars: List[DetectedStar] = []
+    taken_y: List[float] = []
+    taken_x: List[float] = []
+    for i in order:
+        if not valid[i]:
+            continue
+        y, x = float(cys[i]), float(cxs[i])
+        if taken_y:
+            dy = np.array(taken_y) - y
+            dx = np.array(taken_x) - x
+            if (dy * dy + dx * dx < 9.0).any():  # 3 px dedup radius
+                continue
+        taken_y.append(y)
+        taken_x.append(x)
+        stars.append(DetectedStar(
+            x=x, y=y, flux=float(fluxes[i]), fwhm=float(fwhms[i]),
+            eccentricity=float(eccs[i]), peak=float(pvals[i]),
+            npix=int(npixs[i]), snr=float(snrs[i])))
+    return DetectionResult(stars, float(bg_med), float(bg_sig),
+                           sigma_threshold, cols, rows)

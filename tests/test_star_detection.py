@@ -1,0 +1,97 @@
+"""Star detection on synthetic Gaussian stars with centroid-accuracy
+asserts, mirroring star_detection.rs:260-329."""
+
+import numpy as np
+import pytest
+
+from astroburst_tpu.analysis import detect_stars, estimate_background
+
+
+def add_star(img, cy, cx, amp, sigma):
+    yy, xx = np.mgrid[0:img.shape[0], 0:img.shape[1]].astype(np.float64)
+    img += amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma ** 2))
+
+
+def make_field(shape=(256, 256), stars=((60.3, 80.7, 900.0, 1.8),
+                                        (150.0, 40.0, 700.0, 2.2),
+                                        (200.5, 200.5, 1200.0, 1.5)),
+               bg=100.0, noise=2.0, seed=5):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(bg, noise, shape)
+    for cy, cx, amp, sig in stars:
+        add_star(img, cy, cx, amp, sig)
+    return img.astype(np.float32)
+
+
+def test_detects_all_stars_with_accurate_centroids():
+    truth = [(60.3, 80.7), (150.0, 40.0), (200.5, 200.5)]
+    img = make_field()
+    res = detect_stars(img, 5.0)
+    assert len(res.stars) == 3
+    for ty, tx in truth:
+        best = min(res.stars, key=lambda s: (s.y - ty) ** 2 + (s.x - tx) ** 2)
+        assert abs(best.y - ty) < 0.3, (best.y, ty)
+        assert abs(best.x - tx) < 0.3, (best.x, tx)
+
+
+def test_fwhm_estimate():
+    img = make_field(stars=((128.0, 128.0, 1000.0, 2.0),), noise=0.5)
+    res = detect_stars(img, 5.0)
+    assert len(res.stars) == 1
+    # FWHM = 2.3548 * sigma = 4.71 (threshold truncation biases slightly low)
+    assert res.stars[0].fwhm == pytest.approx(4.71, abs=1.2)
+    assert res.stars[0].eccentricity < 0.45
+
+
+def test_background_estimate():
+    img = make_field(stars=(), bg=500.0, noise=10.0)
+    med, sig = estimate_background(img, 64)
+    assert med == pytest.approx(500.0, abs=2.0)
+    assert sig == pytest.approx(10.0, rel=0.25)
+
+
+def test_brightest_first_ordering():
+    img = make_field()
+    res = detect_stars(img, 5.0)
+    fluxes = [s.flux for s in res.stars]
+    assert fluxes == sorted(fluxes, reverse=True)
+
+
+def test_no_stars_in_flat_noise():
+    rng = np.random.default_rng(0)
+    img = rng.normal(100.0, 3.0, (128, 128)).astype(np.float32)
+    res = detect_stars(img, 6.0)
+    assert len(res.stars) <= 2  # noise may rarely spike
+
+
+def test_nan_safe():
+    img = make_field()
+    img[10:20, 10:20] = np.nan
+    img[100, :] = np.inf
+    res = detect_stars(img, 5.0)
+    assert len(res.stars) >= 3 - 1
+    for s in res.stars:
+        assert np.isfinite(s.x) and np.isfinite(s.fwhm)
+
+
+def test_tiny_image_returns_empty():
+    res = detect_stars(np.ones((2, 2), np.float32), 5.0)
+    assert res.stars == []
+
+
+def test_elongated_star_eccentricity():
+    rng = np.random.default_rng(1)
+    img = rng.normal(100.0, 1.0, (128, 128))
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float64)
+    img += 800.0 * np.exp(-((yy - 64) ** 2 / (2 * 1.5 ** 2) +
+                            (xx - 64) ** 2 / (2 * 4.0 ** 2)))
+    res = detect_stars(img.astype(np.float32), 5.0)
+    assert len(res.stars) == 1
+    assert res.stars[0].eccentricity > 0.7
+
+
+def test_snr_positive_and_scaled():
+    img = make_field(stars=((128.0, 128.0, 1000.0, 2.0),), noise=2.0)
+    res = detect_stars(img, 5.0)
+    s = res.stars[0]
+    assert s.snr == pytest.approx(1000.0 / res.background_sigma, rel=0.15)
