@@ -1,0 +1,164 @@
+"""Iterative masked MTF stretch.
+
+Reference: src-tauri/src/core/imaging/masked_stretch.rs — normalize to
+[0,1], star mask once, then loop ≤N: masked-background median →
+mtf_balance → blend dst = dst·(m·α) + stretched·(1−m·α); converge when
+|bg − target| < 1e-5 or the background stagnates. RGB uses a shared
+luminance-derived mask (masked_stretch.rs:157-190).
+
+TPU re-design: the data-dependent convergence loop becomes fixed
+iterations with a traced `stopped` flag (exactly reproducing the
+break conditions); the masked background median is a compare-count
+rank query per iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from astroburst_tpu.imaging.star_mask import (StarMaskConfig, StarMaskResult,
+                                              generate_star_mask)
+from astroburst_tpu.ops.quantile import masked_rank_values
+from astroburst_tpu.ops.stats import compute_image_stats
+
+
+@dataclass
+class MaskedStretchConfig:
+    iterations: int = 10
+    target_background: float = 0.25
+    mask_growth: float = 2.5
+    mask_softness: float = 4.0
+    luminance_protect: bool = True
+    luminance_ceiling: float = 0.85
+    protection_amount: float = 0.85
+    convergence_threshold: float = 1e-5
+
+
+@dataclass
+class MaskedStretchResult:
+    image: jax.Array
+    iterations_run: int
+    final_background: float
+    stars_masked: int
+    mask_coverage: float
+    converged: bool
+
+
+def _masked_median(working, bg_mask):
+    """select_nth(len/2) median of pixels where mask < 0.5, finite, > 0
+    (masked_stretch.rs:211-228)."""
+    flat = jnp.where(bg_mask, working, jnp.inf).reshape(-1)
+    cnt = jnp.sum(bg_mask.astype(jnp.int32)).astype(jnp.float32)
+    rank = jnp.floor(cnt / 2.0) + 1.0  # 0-based index len/2 → rank len/2+1
+    val = masked_rank_values(flat, rank[None], jnp.float32(0.0),
+                             jnp.float32(1.0), rounds=3)[0]
+    return jnp.where(cnt > 0, val, 0.0)
+
+
+def _mtf_guarded(x, m):
+    """MTF with |denom| < 1e-10 → x guard (masked_stretch.rs:238-252)."""
+    denom = (2.0 * m - 1.0) * x - m
+    safe = jnp.where(jnp.abs(denom) < 1e-10, 1.0, denom)
+    val = jnp.clip((m - 1.0) * x / safe, 0.0, 1.0)
+    val = jnp.where(jnp.abs(denom) < 1e-10, x, val)
+    return jnp.where(x <= 0.0, 0.0, jnp.where(x >= 1.0, 1.0, val))
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _masked_stretch_kernel(image, mask, dmin, dmax, protection, target_bg,
+                           conv_threshold, iterations: int):
+    rng = dmax - dmin
+    working = jnp.where(jnp.isfinite(image) & (image > 0.0),
+                        jnp.clip((image - dmin) / jnp.maximum(rng, 1e-30),
+                                 0.0, 1.0), 0.0)
+    working = jnp.where(rng < 1e-10, jnp.zeros_like(image), working)
+    bg_mask = (mask < 0.5) & jnp.isfinite(working) & (working > 0.0)
+
+    stopped = jnp.bool_(False)
+    converged = jnp.bool_(False)
+    iterations_run = jnp.int32(0)
+    prev_bg = _masked_median(working, bg_mask)
+    blend = mask * protection
+
+    for it in range(iterations):
+        bg = _masked_median(
+            working, (mask < 0.5) & jnp.isfinite(working) & (working > 0.0))
+        at_target = jnp.abs(bg - target_bg) < conv_threshold
+        stagnated = jnp.bool_(it > 0) & (jnp.abs(bg - prev_bg)
+                                         < conv_threshold * 0.1)
+        active = ~stopped
+        iterations_run = jnp.where(active, it + 1, iterations_run)
+        converged = converged | (active & at_target)
+        stopped = stopped | at_target | stagnated
+        # mtf_balance (masked_stretch.rs:230-236)
+        denom = 2.0 * target_bg * bg - target_bg - bg
+        midtone = jnp.where(jnp.abs(denom) < 1e-15, 0.5,
+                            jnp.clip(bg * (target_bg - 1.0) /
+                                     jnp.where(jnp.abs(denom) < 1e-15, 1.0,
+                                               denom), 0.0001, 0.9999))
+        stretched = _mtf_guarded(working, midtone)
+        new_working = working * blend + stretched * (1.0 - blend)
+        working = jnp.where(active & ~(at_target | stagnated),
+                            new_working, working)
+        prev_bg = jnp.where(active, bg, prev_bg)
+
+    final_bg = _masked_median(
+        working, (mask < 0.5) & jnp.isfinite(working) & (working > 0.0))
+    return jnp.clip(working, 0.0, 1.0), iterations_run, final_bg, converged
+
+
+def masked_stretch_with_mask(image, mask_result: StarMaskResult,
+                             config: MaskedStretchConfig) -> MaskedStretchResult:
+    img = jnp.asarray(image)
+    stats = compute_image_stats(img)
+    out, iters, final_bg, converged = _masked_stretch_kernel(
+        img, mask_result.mask, jnp.float32(stats.min), jnp.float32(stats.max),
+        jnp.float32(config.protection_amount),
+        jnp.float32(config.target_background),
+        jnp.float32(config.convergence_threshold), config.iterations)
+    return MaskedStretchResult(
+        image=out, iterations_run=int(iters),
+        final_background=float(final_bg),
+        stars_masked=mask_result.stars_masked,
+        mask_coverage=mask_result.coverage_fraction,
+        converged=bool(converged))
+
+
+def masked_stretch(image, config: MaskedStretchConfig = MaskedStretchConfig()
+                   ) -> MaskedStretchResult:
+    mask_cfg = StarMaskConfig(
+        growth_factor=config.mask_growth, softness=config.mask_softness,
+        luminance_protect=config.luminance_protect,
+        luminance_ceiling=config.luminance_ceiling)
+    mask_result = generate_star_mask(image, mask_cfg)
+    return masked_stretch_with_mask(image, mask_result, config)
+
+
+def synthesize_luminance(r, g, b) -> jax.Array:
+    """BT.709 luminance; non-finite → 0 (masked_stretch.rs:126-152)."""
+    rs = jnp.where(jnp.isfinite(r), r, 0.0)
+    gs = jnp.where(jnp.isfinite(g), g, 0.0)
+    bs = jnp.where(jnp.isfinite(b), b, 0.0)
+    return 0.2126 * rs + 0.7152 * gs + 0.0722 * bs
+
+
+def masked_stretch_rgb_shared(r, g, b,
+                              config: MaskedStretchConfig = MaskedStretchConfig()):
+    """Shared luminance-derived mask drives all three channels."""
+    lum = synthesize_luminance(jnp.asarray(r), jnp.asarray(g), jnp.asarray(b))
+    mask_cfg = StarMaskConfig(
+        growth_factor=config.mask_growth, softness=config.mask_softness,
+        luminance_protect=config.luminance_protect,
+        luminance_ceiling=config.luminance_ceiling)
+    shared = generate_star_mask(lum, mask_cfg)
+    return {
+        "r": masked_stretch_with_mask(r, shared, config),
+        "g": masked_stretch_with_mask(g, shared, config),
+        "b": masked_stretch_with_mask(b, shared, config),
+        "shared_mask_coverage": shared.coverage_fraction,
+        "shared_stars_masked": shared.stars_masked,
+    }
