@@ -218,7 +218,8 @@ class DrizzleConfig:
     scale: float = C.DEFAULT_DRIZZLE_SCALE
     pixfrac: float = C.DEFAULT_DRIZZLE_PIXFRAC
     kernel: DrizzleKernel = DrizzleKernel.SQUARE
-    sigma: float = C.DEFAULT_DRIZZLE_SIGMA
+    sigma_low: float = C.DEFAULT_DRIZZLE_SIGMA
+    sigma_high: float = C.DEFAULT_DRIZZLE_SIGMA
     sigma_iterations: int = C.DEFAULT_DRIZZLE_SIGMA_ITERS
     align: bool = True
     alignment_method: AlignmentMethod = AlignmentMethod.PHASE_CORRELATION

@@ -1,0 +1,252 @@
+"""Drizzle stacking.
+
+Reference: src-tauri/src/core/stacking/drizzle.rs — per input pixel
+forward splat onto output pixels with square (exact overlap area),
+Gaussian or Lanczos3 kernels truncated to the pixfrac·scale/2 window;
+finalize each output pixel with per-pixel median/MAD sigma clipping of
+the contribution list, then the unweighted mean of survivors (weights
+map = Σw).
+
+TPU re-formulation (documented delta, SURVEY §7.7): forward splatting
+is a scatter, which this backend cannot do efficiently. Because the
+frame → output mapping is a uniform scale + per-frame offset and all
+three kernels are separable, each frame's contribution field can be
+computed *gather-side* as two 1D weighted-tap passes (axis-takes).
+Per-frame contributions collapse into their weighted mean
+E_f = ΣwV/Σw, and sigma clipping runs across the N per-frame estimates
+(the same clip loop as the reference's finalize, with its
+even-averaging medians). Same outputs for the common case of one
+contribution per frame per output pixel; multi-contribution pixels see
+their same-frame values pre-averaged instead of clipped individually.
+Out-of-bounds splats are dropped rather than clamped onto border
+pixels (a reference border artifact).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from astroburst_tpu.alignment.pair import estimate_offset
+from astroburst_tpu.alignment.phase_correlation import (is_low_confidence,
+                                                        phase_correlate)
+from astroburst_tpu.constants import MAD_TO_SIGMA
+from astroburst_tpu.dtypes import AlignMethod, DrizzleConfig, DrizzleKernel
+from astroburst_tpu.errors import InvalidInput
+from astroburst_tpu.runtime.progress import ProgressHandle
+from astroburst_tpu.stacking.combine import _rank_select
+
+
+def _lanczos3(x):
+    ax = jnp.abs(x)
+    pi_x = jnp.pi * jnp.where(ax < 1e-12, 1.0, x)
+    val = (jnp.sin(pi_x) / pi_x) * (jnp.sin(pi_x / 3.0) / (pi_x / 3.0))
+    return jnp.where(ax < 1e-12, 1.0, jnp.where(ax >= 3.0, 0.0, val))
+
+
+def _axis_weights(n_out: int, n_in: int, d, scale: float, half: float,
+                  kernel: DrizzleKernel, taps: int):
+    """Per-tap (index [n_out], weight [n_out]) for one axis.
+
+    Input pixel ix has center c = (ix + d)·scale and half-width `half`
+    in output coordinates; output pixel o covers [o, o+1)."""
+    o = jnp.arange(n_out, dtype=jnp.float32)
+    ix_star = (o + 0.5) / scale - d - 0.5  # input index whose center hits o+0.5
+    base = jnp.floor(ix_star).astype(jnp.int32)
+    out = []
+    k = taps // 2
+    for t in range(-k, k + 1):
+        ix = base + t
+        inside = (ix >= 0) & (ix <= n_in - 1)
+        ixf = ix.astype(jnp.float32)
+        c = (ixf + d) * scale
+        if kernel == DrizzleKernel.SQUARE:
+            w = jnp.maximum(jnp.minimum(c + half, o + 1.0) -
+                            jnp.maximum(c - half, o), 0.0)
+        elif kernel == DrizzleKernel.GAUSSIAN:
+            sigma = max(half, 0.5)
+            w = jnp.exp(-((o + 0.5 - c) ** 2) / (2.0 * sigma * sigma))
+            w = jnp.where(jnp.abs(o + 0.5 - c) <= half + 1.0, w, 0.0)
+        else:  # LANCZOS3
+            w = _lanczos3(o + 0.5 - c)
+            w = jnp.where(jnp.abs(o + 0.5 - c) <= half + 1.0, w, 0.0)
+        w = jnp.where(inside, w, 0.0)
+        out.append((jnp.clip(ix, 0, n_in - 1), w))
+    return out
+
+
+def _drizzle_frame(frame, d_y, d_x, scale: float, pixfrac: float,
+                   kernel: DrizzleKernel, out_rows: int, out_cols: int):
+    """(weighted-sum, weight) fields for one frame, gather-side."""
+    in_rows, in_cols = frame.shape
+    half = pixfrac * scale * 0.5
+    taps = 2 * math.ceil((half + 0.5) / scale + 1) + 1
+    finite = jnp.isfinite(frame)
+    vals = jnp.where(finite, frame, 0.0)
+    ones = finite.astype(jnp.float32)
+
+    xt = _axis_weights(out_cols, in_cols, d_x, scale, half, kernel, taps)
+    yt = _axis_weights(out_rows, in_rows, d_y, scale, half, kernel, taps)
+
+    # pass 1: along x → [in_rows, out_cols]
+    a_val = None
+    a_w = None
+    for idx, w in xt:
+        tv = w[None, :] * jnp.take(vals, idx, axis=1)
+        tw = w[None, :] * jnp.take(ones, idx, axis=1)
+        a_val = tv if a_val is None else a_val + tv
+        a_w = tw if a_w is None else a_w + tw
+    # pass 2: along y → [out_rows, out_cols]
+    o_val = None
+    o_w = None
+    for idx, w in yt:
+        tv = w[:, None] * jnp.take(a_val, idx, axis=0)
+        tw = w[:, None] * jnp.take(a_w, idx, axis=0)
+        o_val = tv if o_val is None else o_val + tv
+        o_w = tw if o_w is None else o_w + tw
+    return o_val, o_w
+
+
+def _clip_mean_frames(estimates, weights_present, sigma_low, sigma_high,
+                      iterations: int):
+    """Sigma clip across the frame axis with the drizzle-finalize
+    semantics (drizzle.rs:121-178): even-averaging medians, len<3 stop,
+    empty → mean of all."""
+    mask0 = weights_present
+    mask = mask0
+    count0 = jnp.sum(mask0.astype(jnp.int32), axis=0)
+    rejected_total = jnp.zeros((), jnp.int32)
+    stopped = jnp.zeros(estimates.shape[1:], bool)
+
+    def masked_median_avg(vals, m):
+        cnt = jnp.sum(m.astype(jnp.int32), axis=0)
+        sv = jnp.sort(jnp.where(m, vals, jnp.inf), axis=0)
+        v1 = _rank_select(sv, jnp.maximum((cnt - 1) // 2, 0))
+        v2 = _rank_select(sv, jnp.maximum(cnt // 2, 0))
+        return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0), cnt
+
+    for _ in range(iterations):
+        med, cnt = masked_median_avg(estimates, mask)
+        dev_med, _ = masked_median_avg(jnp.abs(estimates - med), mask)
+        sigma = jnp.maximum(dev_med * MAD_TO_SIGMA, 1e-10)
+        active = (cnt >= 3) & ~stopped
+        dev = estimates - med
+        keep = (dev >= -sigma_low * sigma) & (dev <= sigma_high * sigma)
+        new_mask = jnp.where(active[None], mask & keep, mask)
+        removed = cnt - jnp.sum(new_mask.astype(jnp.int32), axis=0)
+        stopped = stopped | (active & (removed == 0))
+        mask = new_mask
+
+    final_cnt = jnp.sum(mask.astype(jnp.int32), axis=0)
+    mean_kept = jnp.sum(jnp.where(mask, estimates, 0.0), axis=0) / jnp.maximum(
+        final_cnt.astype(jnp.float32), 1.0)
+    mean_all = jnp.sum(jnp.where(mask0, estimates, 0.0), axis=0) / jnp.maximum(
+        count0.astype(jnp.float32), 1.0)
+    out = jnp.where(final_cnt > 0, mean_kept,
+                    jnp.where(count0 > 0, mean_all, 0.0))
+    rejected = jnp.sum(count0 - final_cnt)
+    return out, rejected
+
+
+@partial(jax.jit,
+         static_argnames=("scale", "pixfrac", "kernel", "out_rows",
+                          "out_cols", "sigma_low", "sigma_high",
+                          "sigma_iterations"))
+def _drizzle_kernel(stack, d_ys, d_xs, scale: float, pixfrac: float,
+                    kernel: DrizzleKernel, out_rows: int, out_cols: int,
+                    sigma_low: float, sigma_high: float,
+                    sigma_iterations: int):
+    def one(frame, dy, dx):
+        return _drizzle_frame(frame, dy, dx, scale, pixfrac, kernel,
+                              out_rows, out_cols)
+
+    sums, weights = jax.vmap(one)(stack, d_ys, d_xs)
+    present = weights > 1e-12
+    estimates = jnp.where(present, sums / jnp.where(present, weights, 1.0),
+                          0.0)
+    image, rejected = _clip_mean_frames(estimates, present, sigma_low,
+                                        sigma_high, sigma_iterations)
+    weight_map = jnp.sum(weights, axis=0)
+    return image, weight_map, rejected
+
+
+@dataclass
+class DrizzleResult:
+    image: jax.Array
+    weight_map: jax.Array
+    frame_count: int
+    output_scale: float
+    input_dims: Tuple[int, int]
+    output_dims: Tuple[int, int]
+    offsets: List[Tuple[float, float]]
+    rejected_pixels: int
+
+
+def drizzle_stack(images: Sequence, config: DrizzleConfig = DrizzleConfig(),
+                  progress: Optional[ProgressHandle] = None) -> DrizzleResult:
+    """Full drizzle driver (drizzle.rs:226-346)."""
+    if not images:
+        raise InvalidInput("No images to drizzle")
+    if len(images) < 2:
+        raise InvalidInput(
+            "Drizzle requires at least 2 frames for sub-pixel reconstruction")
+
+    dims = [(int(i.shape[0]), int(i.shape[1])) for i in images]
+    min_rows = min(d[0] for d in dims)
+    min_cols = min(d[1] for d in dims)
+    max_rows = max(d[0] for d in dims)
+    max_cols = max(d[1] for d in dims)
+    tolerance = int(max(min_rows, min_cols) * 0.05)
+    if (max_rows - min_rows) > tolerance or (max_cols - min_cols) > tolerance:
+        raise InvalidInput(
+            f"Frame dimensions vary too much (rows: {max_rows - min_rows}px, "
+            f"cols: {max_cols - min_cols}px, tolerance: {tolerance}px)")
+
+    cropped = [jnp.asarray(img)[:min_rows, :min_cols] for img in images]
+    scale = min(max(config.scale, 1.0), 4.0)
+    pixfrac = min(max(config.pixfrac, 0.1), 1.0)
+    out_rows = math.ceil(min_rows * scale)
+    out_cols = math.ceil(min_cols * scale)
+
+    reference = cropped[0]
+    offsets: List[Tuple[float, float]] = [(0.0, 0.0)]
+    if config.align:
+        from astroburst_tpu.dtypes import AlignmentMethod
+        for i, target in enumerate(cropped[1:], 1):
+            if config.alignment_method == AlignmentMethod.PHASE_CORRELATION:
+                pc = phase_correlate(reference, target)
+                if is_low_confidence(pc.confidence):
+                    dy, dx, _ = estimate_offset(reference, target,
+                                                AlignMethod.AFFINE)
+                    offsets.append((dx, dy))
+                else:
+                    offsets.append((pc.dx, pc.dy))
+            else:  # ZNCC → Affine reroute (drizzle.rs:302-306)
+                dy, dx, _ = estimate_offset(reference, target,
+                                            AlignMethod.AFFINE)
+                offsets.append((dx, dy))
+            if progress is not None:
+                progress.tick_with_stage(f"align {i}/{len(cropped) - 1}")
+                progress.check_cancelled()
+    else:
+        offsets.extend([(0.0, 0.0)] * (len(cropped) - 1))
+
+    stack = jnp.stack(cropped)
+    d_xs = jnp.asarray([-dx for dx, _dy in offsets], jnp.float32)
+    d_ys = jnp.asarray([-dy for _dx, dy in offsets], jnp.float32)
+    if progress is not None:
+        progress.tick_with_stage("drizzling")
+    image, weight_map, rejected = _drizzle_kernel(
+        stack, d_ys, d_xs, scale, pixfrac, config.kernel, out_rows, out_cols,
+        config.sigma_low, config.sigma_high, config.sigma_iterations)
+    return DrizzleResult(
+        image=image, weight_map=weight_map, frame_count=len(cropped),
+        output_scale=scale, input_dims=(min_rows, min_cols),
+        output_dims=(out_rows, out_cols), offsets=offsets,
+        rejected_pixels=int(rejected))
