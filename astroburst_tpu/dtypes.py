@@ -159,7 +159,11 @@ class RgbComposeConfig:
     white_balance: WhiteBalance = field(default_factory=WhiteBalance)
     align: bool = True
     align_method: AlignMethod = AlignMethod.PHASE_CORRELATION
-    apply_stf: bool = True
+    auto_stretch: bool = True
+    linked_stf: bool = True
+    stf_r: Optional[StfParams] = None
+    stf_g: Optional[StfParams] = None
+    stf_b: Optional[StfParams] = None
     scnr: Optional[ScnrConfig] = None
     auto_stf: AutoStfConfig = field(default_factory=AutoStfConfig)
 
