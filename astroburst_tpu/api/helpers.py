@@ -101,6 +101,92 @@ def render_rgb_preview_with_stf(r, g, b, stf_r: StfParams, stf_g: StfParams,
     save_rgb_png(planes[0], planes[1], planes[2], path)
 
 
+def stats_brief(stats: ImageStats) -> dict:
+    """The 4-field stats payload used by compose responses."""
+    return {C.RES_MEDIAN: stats.median, C.RES_MEAN: stats.mean,
+            C.RES_MIN: stats.min, C.RES_MAX: stats.max}
+
+
+def composite_png_path(output_dir: str) -> str:
+    """Timestamped composite preview path; stale composites removed
+    (cmd/compose/rgb.rs:19-33)."""
+    import os
+    import time
+    try:
+        for name in os.listdir(output_dir):
+            if name.startswith("rgb_composite") and name.endswith(".png"):
+                try:
+                    os.remove(os.path.join(output_dir, name))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return os.path.join(output_dir, f"rgb_composite_{int(time.time()*1000)}.png")
+
+
+def _require(key: str):
+    from astroburst_tpu.errors import CacheMiss
+    entry = GLOBAL_IMAGE_CACHE.get(key)
+    if entry is None or entry.stats is None:
+        raise CacheMiss(f"cache key not found: {key}")
+    return entry
+
+
+def load_composite_rgb():
+    """KEY working planes (helpers.rs load_composite_rgb)."""
+    return (_require(C.COMPOSITE_KEY_R), _require(C.COMPOSITE_KEY_G),
+            _require(C.COMPOSITE_KEY_B))
+
+
+def load_composite_orig_rgb():
+    """ORIG immutable planes."""
+    return (_require(C.COMPOSITE_ORIG_R), _require(C.COMPOSITE_ORIG_G),
+            _require(C.COMPOSITE_ORIG_B))
+
+
+def load_orig_or_composite():
+    try:
+        return load_composite_orig_rgb()
+    except Exception:
+        return load_composite_rgb()
+
+
+def insert_composite_rgb(r, g, b, stats_r, stats_g, stats_b) -> None:
+    """Replace only the KEY working planes (color pipeline writes)."""
+    GLOBAL_IMAGE_CACHE.insert(C.COMPOSITE_KEY_R, r, stats=stats_r)
+    GLOBAL_IMAGE_CACHE.insert(C.COMPOSITE_KEY_G, g, stats=stats_g)
+    GLOBAL_IMAGE_CACHE.insert(C.COMPOSITE_KEY_B, b, stats=stats_b)
+
+
+def parse_wb(mode: Optional[str], r: Optional[float], g: Optional[float],
+             b: Optional[float]):
+    from astroburst_tpu.dtypes import WhiteBalance, WhiteBalanceMode
+    m = (mode or "auto").lower()
+    if m == C.WB_MODE_MANUAL:
+        return WhiteBalance(mode=WhiteBalanceMode.MANUAL, r=r or 1.0,
+                            g=g or 1.0, b=b or 1.0)
+    if m == C.WB_MODE_NONE:
+        return WhiteBalance(mode=WhiteBalanceMode.NONE)
+    return WhiteBalance(mode=WhiteBalanceMode.AUTO)
+
+
+def parse_scnr_config(enabled: Optional[bool], method: Optional[str],
+                      amount: Optional[float],
+                      preserve_luminance: Optional[bool]):
+    from astroburst_tpu.dtypes import ScnrConfig, ScnrMethod
+    if not enabled:
+        return None
+    return ScnrConfig(
+        method=ScnrMethod.parse(method),
+        amount=float(amount if amount is not None else C.DEFAULT_SCNR_AMOUNT),
+        preserve_luminance=bool(preserve_luminance or False))
+
+
+def parse_align_method(s: Optional[str]):
+    from astroburst_tpu.dtypes import AlignMethod
+    return AlignMethod.parse(s)
+
+
 def render_rgb_preview(r_stretched, g_stretched, b_stretched, path: str,
                        max_dim: int = 4096) -> None:
     """Assume planes already stretched to [0,1]; quantize + save
