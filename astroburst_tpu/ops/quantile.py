@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 BINS = 64
 ROUNDS = 4
-_CHUNK = 1 << 18  # 256k elements per scan step (1 MB f32) keeps VMEM happy
+_CHUNK = 1 << 22  # 4M elements per scan step (measured best on v5e)
 
 
 def _count_below_edges(x: jax.Array, edges: jax.Array) -> jax.Array:

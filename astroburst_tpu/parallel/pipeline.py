@@ -27,31 +27,45 @@ from astroburst_tpu.ops.stats import stats_core
 from astroburst_tpu.stacking.combine import sigma_clip_core
 
 
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
                         sigma_high: float = 3.0, max_iter: int = 5,
-                        align: bool = True, exact_pair: bool = False):
+                        align: bool = True, exact_pair: bool = False,
+                        use_pallas: bool | None = None):
     """Pure traced pipeline over [N, H, W]; returns a dict of arrays:
     combined f32 [H,W], preview u8 [H,W], offsets [N,2] f32,
-    confidences [N] f32, rejected i32, stf (shadow, midtone) f32."""
+    confidences [N] f32, rejected i32, stf (shadow, midtone) f32.
+
+    On TPU the shift + sigma-clip stage runs as the fused Pallas
+    kernel (stacking.fused_kernel) — one HBM pass over the stack."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
     n = stack.shape[0]
     ref = stack[0]
     if align and n > 1:
-        def one(frame):
-            dy, dx, conf = _phase_correlate_traced(ref, frame)
-            return shift_bicubic(frame, dy, dx), dy, dx, conf
+        def est(frame):
+            return _phase_correlate_traced(ref, frame)
 
-        aligned, dys, dxs, confs = jax.vmap(one)(stack[1:])
-        full = jnp.concatenate([stack[:1], aligned], axis=0)
-        dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys])
-        dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs])
-        confs = jnp.concatenate([jnp.zeros(1, jnp.float32), confs])
+        dys1, dxs1, confs1 = jax.vmap(est)(stack[1:])
+        dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys1])
+        dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs1])
+        confs = jnp.concatenate([jnp.zeros(1, jnp.float32), confs1])
     else:
-        full = stack
         dys = jnp.zeros(n, jnp.float32)
         dxs = jnp.zeros(n, jnp.float32)
         confs = jnp.zeros(n, jnp.float32)
 
-    combined, rejected = sigma_clip_core(full, sigma_low, sigma_high, max_iter)
+    if use_pallas:
+        from astroburst_tpu.stacking.fused_kernel import shift_clip_fused
+        combined, rejected = shift_clip_fused(stack, dys, dxs, sigma_low,
+                                              sigma_high, max_iter)
+    else:
+        full = jax.vmap(shift_bicubic)(stack, dys, dxs)
+        combined, rejected = sigma_clip_core(full, sigma_low, sigma_high,
+                                             max_iter)
     mn, mx, _total, count, med, mad = stats_core(combined, exact_pair)
     sigma = jnp.maximum(mad * 1.4826, 1e-30)
     shadow, midtone = auto_stf_traced(mn, mx, med, sigma, count)

@@ -144,24 +144,35 @@ def stack_images(images: Sequence, config: StackConfig = StackConfig(),
 
     offsets: List[Tuple[int, int]] = [(0, 0)]
     confidences: List[float] = [0.0]
+    use_pallas = jax.default_backend() == "tpu"
     if config.align and n > 1:
-        aligned, dys, dxs, confs = _align_frames_to_ref(stack[0], stack[1:])
-        stack = jnp.concatenate([stack[:1], aligned], axis=0)
+        dys1, dxs1, confs = jax.jit(jax.vmap(
+            lambda f: _phase_correlate_traced(stack[0], f)))(stack[1:])
+        dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys1])
+        dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs1])
         if progress is not None:
             progress.tick_with_stage("align", n - 1)
             progress.check_cancelled()
-        dys_np = np.asarray(dys)
-        dxs_np = np.asarray(dxs)
-        confs_np = np.asarray(confs)
         offsets += [(int(round(float(dy))), int(round(float(dx))))
-                    for dy, dx in zip(dys_np, dxs_np)]
-        confidences += [float(c) for c in confs_np]
+                    for dy, dx in zip(np.asarray(dys1), np.asarray(dxs1))]
+        confidences += [float(c) for c in np.asarray(confs)]
     else:
+        dys = jnp.zeros(n, jnp.float32)
+        dxs = jnp.zeros(n, jnp.float32)
         offsets += [(0, 0)] * (n - 1)
         confidences += [0.0] * (n - 1)
 
-    combined, rejected = sigma_clip_combine_stack(
-        stack, config.sigma_low, config.sigma_high, config.max_iterations)
+    if use_pallas:
+        from astroburst_tpu.stacking.fused_kernel import shift_clip_fused
+        combined, rejected = shift_clip_fused(
+            stack, dys, dxs, config.sigma_low, config.sigma_high,
+            config.max_iterations)
+    else:
+        if config.align and n > 1:
+            stack = jax.jit(jax.vmap(shift_bicubic))(stack, dys, dxs)
+        combined, rejected = sigma_clip_combine_stack(
+            stack, config.sigma_low, config.sigma_high,
+            config.max_iterations)
     if progress is not None:
         progress.tick_with_stage("combine")
     return StackResult(image=combined, frame_count=n,
