@@ -1,0 +1,69 @@
+"""Pallas kernel parity tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from astroburst_tpu.ops.resample import shift_bicubic
+from astroburst_tpu.stacking.clip_kernel import sigma_clip_pallas
+from astroburst_tpu.stacking.combine import sigma_clip_core
+from astroburst_tpu.stacking.fused_kernel import shift_clip_fused
+
+
+def _stack(rng, n=8, h=100, w=150, nan_frac=0.03, outlier_frac=0.03):
+    s = rng.normal(100, 5, (n, h, w)).astype(np.float32)
+    s[rng.random(s.shape) < nan_frac] = np.nan
+    s[rng.random(s.shape) < outlier_frac] = 4000.0
+    return s
+
+
+def test_clip_kernel_matches_xla(rng):
+    s = jnp.asarray(_stack(rng))
+    ref, ref_rej = jax.jit(lambda x: sigma_clip_core(x, 2.5, 3.0, 5))(s)
+    got, got_rej = sigma_clip_pallas(s, 2.5, 3.0, 5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    assert int(got_rej) == int(ref_rej)
+
+
+def test_clip_kernel_single_iteration(rng):
+    s = jnp.asarray(_stack(rng, n=5))
+    ref, _ = jax.jit(lambda x: sigma_clip_core(x, 3.0, 3.0, 1))(s)
+    got, _ = sigma_clip_pallas(s, 3.0, 3.0, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_kernel_matches_shift_plus_clip(rng):
+    n = 6
+    s = jnp.asarray(_stack(rng, n=n, h=130, w=170))
+    dys = jnp.asarray(rng.uniform(-12, 12, n).astype(np.float32))
+    dxs = jnp.asarray(rng.uniform(-12, 12, n).astype(np.float32))
+    shifted = jnp.stack([shift_bicubic(s[k], float(dys[k]), float(dxs[k]))
+                         for k in range(n)])
+    ref, ref_rej = jax.jit(lambda x: sigma_clip_core(x, 2.5, 3.0, 5))(shifted)
+    got, got_rej = shift_clip_fused(s, dys, dxs, 2.5, 3.0, 5,
+                                    interpret=True)
+    # different f32 summation order can flip borderline clip decisions;
+    # require near-exact values on ≥99% of pixels and small error on all
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert (d < 2e-4).mean() > 0.99
+    assert d.max() < 0.05
+    assert abs(int(got_rej) - int(ref_rej)) <= int(ref_rej) * 0.02 + 50
+
+
+def test_fused_kernel_zero_offsets_is_plain_clip(rng):
+    s = jnp.asarray(_stack(rng, n=4, h=80, w=90, nan_frac=0.0))
+    z = jnp.zeros(4, jnp.float32)
+    ref, _ = jax.jit(lambda x: sigma_clip_core(x, 3.0, 3.0, 3))(s)
+    got, _ = shift_clip_fused(s, z, z, 3.0, 3.0, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_kernel_large_offsets_clamped(rng):
+    # offsets beyond MAX_SHIFT are clamped, not wrapped or crashed
+    s = jnp.asarray(_stack(rng, n=3, h=64, w=64, nan_frac=0.0,
+                           outlier_frac=0.0))
+    dys = jnp.asarray([0.0, 500.0, -500.0], jnp.float32)
+    got, _ = shift_clip_fused(s, dys, jnp.zeros(3, jnp.float32),
+                              3.0, 3.0, 2, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
