@@ -43,11 +43,12 @@ def test_fused_kernel_matches_shift_plus_clip(rng):
     ref, ref_rej = jax.jit(lambda x: sigma_clip_core(x, 2.5, 3.0, 5))(shifted)
     got, got_rej = shift_clip_fused(s, dys, dxs, 2.5, 3.0, 5,
                                     interpret=True)
-    # different f32 summation order can flip borderline clip decisions;
-    # require near-exact values on ≥99% of pixels and small error on all
+    # the fused kernel sums in list order, the XLA path in tree order:
+    # f32 means differ ~1e-5 relative (≈1e-3 here at values ~100), and
+    # borderline clip decisions may rarely flip
     d = np.abs(np.asarray(got) - np.asarray(ref))
-    assert (d < 2e-4).mean() > 0.99
-    assert d.max() < 0.05
+    assert (d < 5e-3).mean() > 0.999
+    assert d.max() < 0.1
     assert abs(int(got_rej) - int(ref_rej)) <= int(ref_rej) * 0.02 + 50
 
 
