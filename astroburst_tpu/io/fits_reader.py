@@ -37,12 +37,18 @@ _BITPIX_DTYPES = {
 def decode_pixels(raw: np.ndarray, bitpix: int, bscale: float, bzero: float) -> np.ndarray:
     """Decode big-endian FITS data bytes to float32 with BSCALE/BZERO.
 
-    Identity fast path: BITPIX=-32 with bscale==1, bzero==0 is a pure
-    byteswap (reader.rs:42-101 keeps the same shortcut).
+    Prefers the OpenMP C++ kernel (astroburst_tpu.native), falling back
+    to vectorized numpy. Identity fast path: BITPIX=-32 with bscale==1,
+    bzero==0 is a pure byteswap (reader.rs:42-101 keeps the same
+    shortcut).
     """
     dt = _BITPIX_DTYPES.get(bitpix)
     if dt is None:
         raise FitsError(f"Unsupported BITPIX {bitpix}")
+    from astroburst_tpu.native import decode_pixels_native
+    native = decode_pixels_native(raw, bitpix, bscale, bzero)
+    if native is not None:
+        return native
     vals = np.frombuffer(raw, dtype=dt)
     if bitpix == -32 and bscale == 1.0 and bzero == 0.0:
         return vals.astype(np.float32)

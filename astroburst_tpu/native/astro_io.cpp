@@ -1,0 +1,160 @@
+// Native host-side FITS decode/encode kernels.
+//
+// The analog of the reference's Rust mmap reader hot path
+// (reference: src-tauri/src/infra/fits/reader.rs:42-101 decode_pixels
+// and writer.rs big-endian encoders): big-endian BITPIX
+// {8,16,32,-32,-64} to float32 with BSCALE/BZERO, OpenMP-parallel.
+// Exposed as a plain C ABI consumed via ctypes
+// (astroburst_tpu/native/__init__.py); numpy remains the fallback.
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+inline uint16_t load_be16(const uint8_t* p) {
+    return static_cast<uint16_t>((p[0] << 8) | p[1]);
+}
+
+inline uint32_t load_be32(const uint8_t* p) {
+    return (static_cast<uint32_t>(p[0]) << 24) |
+           (static_cast<uint32_t>(p[1]) << 16) |
+           (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+inline uint64_t load_be64(const uint8_t* p) {
+    return (static_cast<uint64_t>(load_be32(p)) << 32) | load_be32(p + 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n big-endian pixels of the given BITPIX into float32 with
+// physical = raw * bscale + bzero (identity fast path for -32).
+// Returns 0 on success, -1 for unsupported bitpix.
+int astro_decode_pixels(const uint8_t* src, float* dst, int64_t n,
+                        int bitpix, double bscale, double bzero) {
+    const bool identity = (bscale == 1.0 && bzero == 0.0);
+    switch (bitpix) {
+        case 8: {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < n; ++i) {
+                dst[i] = static_cast<float>(src[i] * bscale + bzero);
+            }
+            return 0;
+        }
+        case 16: {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < n; ++i) {
+                int16_t v = static_cast<int16_t>(load_be16(src + 2 * i));
+                dst[i] = static_cast<float>(v * bscale + bzero);
+            }
+            return 0;
+        }
+        case 32: {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < n; ++i) {
+                int32_t v = static_cast<int32_t>(load_be32(src + 4 * i));
+                dst[i] = static_cast<float>(v * bscale + bzero);
+            }
+            return 0;
+        }
+        case -32: {
+            if (identity) {
+#pragma omp parallel for schedule(static)
+                for (int64_t i = 0; i < n; ++i) {
+                    uint32_t bits = load_be32(src + 4 * i);
+                    float f;
+                    std::memcpy(&f, &bits, 4);
+                    dst[i] = f;
+                }
+            } else {
+#pragma omp parallel for schedule(static)
+                for (int64_t i = 0; i < n; ++i) {
+                    uint32_t bits = load_be32(src + 4 * i);
+                    float f;
+                    std::memcpy(&f, &bits, 4);
+                    dst[i] = static_cast<float>(
+                        static_cast<double>(f) * bscale + bzero);
+                }
+            }
+            return 0;
+        }
+        case -64: {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < n; ++i) {
+                uint64_t bits = load_be64(src + 8 * i);
+                double d;
+                std::memcpy(&d, &bits, 8);
+                dst[i] = static_cast<float>(d * bscale + bzero);
+            }
+            return 0;
+        }
+        default:
+            return -1;
+    }
+}
+
+// Encode float32 → big-endian f32 (BITPIX -32 writer path).
+void astro_encode_be_f32(const float* src, uint8_t* dst, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t bits;
+        std::memcpy(&bits, &src[i], 4);
+        dst[4 * i + 0] = static_cast<uint8_t>(bits >> 24);
+        dst[4 * i + 1] = static_cast<uint8_t>(bits >> 16);
+        dst[4 * i + 2] = static_cast<uint8_t>(bits >> 8);
+        dst[4 * i + 3] = static_cast<uint8_t>(bits);
+    }
+}
+
+// Encode float32 → big-endian i16 with (v - bzero) / bscale, rounded
+// and clamped (writer.rs:102-119).
+void astro_encode_be_i16(const float* src, uint8_t* dst, int64_t n,
+                         double bzero, double bscale) {
+    const double inv = 1.0 / bscale;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        double physical = (static_cast<double>(src[i]) - bzero) * inv;
+        if (physical > 32767.0) physical = 32767.0;
+        if (physical < -32768.0) physical = -32768.0;
+        int16_t v = static_cast<int16_t>(physical >= 0.0
+                                             ? physical + 0.5
+                                             : physical - 0.5);
+        uint16_t bits = static_cast<uint16_t>(v);
+        dst[2 * i + 0] = static_cast<uint8_t>(bits >> 8);
+        dst[2 * i + 1] = static_cast<uint8_t>(bits);
+    }
+}
+
+// Masked min/max/sum/count with the validity rule finite && > 1e-7
+// (stats.rs:11), for host-side previews that skip the device.
+void astro_masked_scan(const float* src, int64_t n, double* out_min,
+                       double* out_max, double* out_sum,
+                       int64_t* out_count) {
+    double mn = 1e300, mx = -1e300, sum = 0.0;
+    int64_t count = 0;
+#pragma omp parallel for schedule(static) \
+    reduction(min : mn) reduction(max : mx) reduction(+ : sum, count)
+    for (int64_t i = 0; i < n; ++i) {
+        float v = src[i];
+        if (v == v && v <= 3.4e38f && v >= -3.4e38f && v > 1e-7f) {
+            double d = v;
+            if (d < mn) mn = d;
+            if (d > mx) mx = d;
+            sum += d;
+            ++count;
+        }
+    }
+    *out_min = mn;
+    *out_max = mx;
+    *out_sum = sum;
+    *out_count = count;
+}
+
+}  // extern "C"
