@@ -439,9 +439,82 @@ def _warp_kernel(image: jax.Array, params: jax.Array, out_rows: int,
     return jnp.where(inside, out, 0.0)
 
 
+def _take_rows_4tap(img, row_idx_f):
+    """Vertical Catmull-Rom resample: out[y,x] = CR(img[:, x], row_idx_f[y,x]).
+
+    take_along_axis with whole-column index maps is the fast gather
+    form on this backend (elementwise gathers are ~12 ns/px)."""
+    h = img.shape[0]
+    base = jnp.floor(row_idx_f)
+    frac = row_idx_f - base
+    basei = base.astype(jnp.int32)
+    out = None
+    for j in range(4):
+        w = catmull_rom(frac - (j - 1))
+        idx = jnp.clip(basei + (j - 1), 0, h - 1)
+        term = w * jnp.take_along_axis(img, idx, axis=0)
+        out = term if out is None else out + term
+    return out
+
+
+def _take_cols_4tap(img, col_idx_f):
+    w_ = img.shape[1]
+    base = jnp.floor(col_idx_f)
+    frac = col_idx_f - base
+    basei = base.astype(jnp.int32)
+    out = None
+    for j in range(4):
+        w = catmull_rom(frac - (j - 1))
+        idx = jnp.clip(basei + (j - 1), 0, w_ - 1)
+        term = w * jnp.take_along_axis(img, idx, axis=1)
+        out = term if out is None else out + term
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_rows", "out_cols"))
+def _warp_two_pass_kernel(image: jax.Array, params: jax.Array,
+                          out_rows: int, out_cols: int):
+    """Catmull two-pass affine warp: a vertical then a horizontal 1D
+    Catmull-Rom resample (exact for the affine coordinate map; the
+    separable interpolation differs from the direct 2D sampler only by
+    interpolation-order commutation). Requires |a| not tiny — the
+    sanity gates guarantee scale ∈ [0.7, 1.4]."""
+    src_rows, src_cols = image.shape
+    a, b, tx, c, d, ty = [params[i] for i in range(6)]
+    y = jnp.arange(out_rows, dtype=jnp.float32)[:, None]
+    x = jnp.arange(out_cols, dtype=jnp.float32)[None, :]
+    # pass 1: tmp[y, u] = img[p·y + q·u + r, u]
+    q = c / a
+    p = d - q * b
+    r = ty - q * tx
+    u = jnp.arange(src_cols, dtype=jnp.float32)[None, :]
+    row_idx = p * jnp.broadcast_to(y, (out_rows, src_cols)) + q * u + r
+    tmp = _take_rows_4tap(image, row_idx)
+    # pass 2: out[y, x] = tmp[y, a·x + b·y + tx]
+    sx = a * x + b * y + tx
+    sy = c * x + d * y + ty
+    out = _take_cols_4tap(tmp, jnp.broadcast_to(sx, (out_rows, out_cols)))
+    inside = (sx >= 0.0) & (sy >= 0.0) & (sx < src_cols - 1) & \
+        (sy < src_rows - 1)
+    return jnp.where(inside, out, 0.0)
+
+
 def warp_image(image, transform: AffineTransform, out_rows: int,
-               out_cols: int) -> jax.Array:
-    """Bicubic warp: out[y,x] = img(T·(x,y)); outside → 0."""
-    return _warp_kernel(jnp.asarray(image),
-                        jnp.asarray(transform.as_tuple(), dtype=jnp.float32),
-                        out_rows, out_cols)
+               out_cols: int, exact: bool = False) -> jax.Array:
+    """Bicubic warp: out[y,x] = img(T·(x,y)); outside → 0.
+
+    Default is the fast two-pass form (axis-take gathers); exact=True
+    uses the direct 2D sampler matching the reference bit-for-bit
+    (slow elementwise gathers). Pure translations route to the
+    separable shift (exact and fastest)."""
+    img = jnp.asarray(image)
+    t = transform
+    if (abs(t.a - 1.0) < 1e-12 and abs(t.d - 1.0) < 1e-12 and
+            abs(t.b) < 1e-12 and abs(t.c) < 1e-12 and
+            img.shape == (out_rows, out_cols)):
+        from astroburst_tpu.ops.resample import shift_bicubic
+        return shift_bicubic(img, t.ty, t.tx)
+    params = jnp.asarray(t.as_tuple(), dtype=jnp.float32)
+    if exact or abs(t.a) < 1e-3:
+        return _warp_kernel(img, params, out_rows, out_cols)
+    return _warp_two_pass_kernel(img, params, out_rows, out_cols)
