@@ -76,15 +76,24 @@ def main():
     log(f"rejected: {int(out['rejected'])}, stf: {np.asarray(out['stf'])}")
 
     # sustained throughput: pipeline K dispatches (distinct inputs so no
-    # result caching), sync once — amortizes the tunnel round-trip the
-    # way a production ingest loop would
-    K = 6
+    # result caching), reduce all checksums ON DEVICE and fetch ONE
+    # scalar — each host fetch through the axon tunnel costs a full
+    # ~31 ms RTT and fetches serialize, so per-run fetches would
+    # measure the tunnel, not the chip. A production ingest loop syncs
+    # once per batch exactly like this.
+    checksum = jax.jit(lambda o: o["stf"][0]
+                       + o["rejected"].astype(jnp.float32)
+                       + o["preview"][0, 0].astype(jnp.float32))
+    reduce_all = jax.jit(lambda *xs: sum(xs))
+    _ = float(reduce_all(checksum(out)))
+
+    K = 12
     times = []
     for trial in range(3):
         t0 = time.perf_counter()
-        outs = [fn(stack, jnp.float32((trial * K + i + 1) * 1e-6))
-                for i in range(K)]
-        _ = sum(float(o["stf"][0]) + float(o["rejected"]) for o in outs)
+        cs = [checksum(fn(stack, jnp.float32((trial * K + i + 1) * 1e-6)))
+              for i in range(K)]
+        _ = float(reduce_all(*cs))
         times.append((time.perf_counter() - t0) / K)
     log(f"per-run times: {[f'{t*1e3:.0f}ms' for t in times]}")
 
