@@ -7,7 +7,7 @@ peak + SNR confidence → circular unwrap + 3-point quadratic subpixel
 centered crops.
 
 TPU re-design: the whole coarse-to-fine pipeline is one jit per input
-shape — matmul FFTs (ops.fft), matmul area-downsample, dynamic-slice
+shape — matmul FFTs (ops.fft), box-mean coarse downsample, dynamic-slice
 crops with clamped starts (the reference shrinks edge crops and skips
 refinement on mismatch; we clamp so the refine always runs at 512²).
 Batched use (vmap over a frame axis) is supported by `correlate_single`.
@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from astroburst_tpu.ops import fft as F
-from astroburst_tpu.ops.resample import area_downsample
 from astroburst_tpu.ops.window import hann_periodic
 
 COARSE_MAX_DIM = 512        # phase_correlation.rs:10
@@ -133,6 +132,31 @@ def correlate_single(a, b):
             jnp.where(bad, zero, confidence))
 
 
+def _coarse_box_downsample(img, max_dim: int):
+    """Integer box-mean downsample for the coarse pass.
+
+    The reference's coarse pass area-averages to ≤512²
+    (phase_correlation.rs:10, sampling.rs area path); the exact
+    fractional-coverage average is a dense banded matmul here (~13
+    GFLOP per 5655×2206 frame). The coarse displacement only seeds the
+    512² refinement crop, so an integer box mean over the largest
+    divisible crop is equivalent for that purpose and is one pass over
+    the pixels. Returns (ds, box_y, box_x) with ds ≤ max_dim per side.
+    """
+    rows, cols = img.shape[-2], img.shape[-1]
+    by = -(-rows // max_dim)
+    bx = -(-cols // max_dim)
+    ds_r = rows // by
+    ds_c = cols // bx
+    crop = img[..., :ds_r * by, :ds_c * bx]
+    # two single-axis reductions lay out far better than one
+    # mean(axis=(-3, -1)) (which forces a relayout of the full plane)
+    lead = img.shape[:-2]
+    s1 = crop.reshape(*lead, ds_r, by, ds_c * bx).sum(axis=-2)
+    ds = s1.reshape(*lead, ds_r, ds_c, bx).sum(axis=-1) / (by * bx)
+    return ds, by, bx
+
+
 def _centered_crop_static(img, size: int):
     rows, cols = img.shape[-2], img.shape[-1]
     y0 = max(rows // 2 - size // 2, 0)
@@ -156,16 +180,11 @@ def _phase_correlate_traced(ref, tgt):
     if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
         return correlate_single(ref, tgt)
 
-    ds_rows = min(COARSE_MAX_DIM, rows)
-    ds_cols = min(COARSE_MAX_DIM, cols)
-    scale_y = rows / ds_rows
-    scale_x = cols / ds_cols
-
-    cdy, cdx, cconf = correlate_single(
-        area_downsample(ref, ds_rows, ds_cols),
-        area_downsample(tgt, ds_rows, ds_cols))
-    coarse_dy = cdy * scale_y
-    coarse_dx = cdx * scale_x
+    ref_ds, by, bx = _coarse_box_downsample(ref, COARSE_MAX_DIM)
+    tgt_ds, _, _ = _coarse_box_downsample(tgt, COARSE_MAX_DIM)
+    cdy, cdx, cconf = correlate_single(ref_ds, tgt_ds)
+    coarse_dy = cdy * by
+    coarse_dx = cdx * bx
 
     ref_cy = rows // 2
     ref_cx = cols // 2

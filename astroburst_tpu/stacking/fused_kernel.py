@@ -36,8 +36,10 @@ from astroburst_tpu.stacking.clip_kernel import _clip_body
 MAX_SHIFT = 256
 BLOCK_H = 64
 BLOCK_W = 256
-WIN_H = BLOCK_H + 16   # 4-tap halo (3) + sublane residual (<8), rounded
-WIN_W = BLOCK_W + 256  # 4-tap halo (3) + lane residual (<128), rounded
+# windows add the 4-tap halo (3) + the sub-tile DMA residual
+# (<8 sublanes / <128 lanes), rounded up to the (8, 128) tile
+_HALO_H = 16
+_HALO_W = 256
 
 
 def _cr_weights(f):
@@ -54,54 +56,85 @@ def _cr_weights(f):
 
 
 def _make_kernel(n: int, h: int, w: int, sigma_low: float,
-                 sigma_high: float, max_iter: int):
-    def kernel(shift_ref, frac_ref, stack_hbm, out_ref, rej_ref, scratch,
-               sems):
-        bi = pl.program_id(0)
-        bj = pl.program_id(1)
-        row0 = bi * BLOCK_H
-        col0 = bj * BLOCK_W
+                 sigma_high: float, max_iter: int, block_h: int,
+                 block_w: int, grid_w: int):
+    win_h = block_h + _HALO_H
+    win_w = block_w + _HALO_W
 
-        # aligned window starts + sub-tile residuals
+    def issue_dmas(step, shift_ref, stack_hbm, scratch, sems, slot):
+        """Start the n window DMAs for grid step `step` into buffer
+        `slot`; returns the per-frame sub-tile residuals."""
+        row0 = (step // grid_w) * block_h
+        col0 = (step % grid_w) * block_w
         starts = []
-        dmas = []
         for k in range(n):
             base_r = row0 + shift_ref[k, 0] + MAX_SHIFT - 1
             base_c = col0 + shift_ref[k, 1] + MAX_SHIFT - 1
             ry = pl.multiple_of((base_r // 8) * 8, 8)
             cx = pl.multiple_of((base_c // 128) * 128, 128)
             starts.append((base_r - ry, base_c - cx))
-            dma = pltpu.make_async_copy(
-                stack_hbm.at[k, pl.ds(ry, WIN_H), pl.ds(cx, WIN_W)],
-                scratch.at[k], sems.at[k])
-            dma.start()
-            dmas.append(dma)
+            pltpu.make_async_copy(
+                stack_hbm.at[k, pl.ds(ry, win_h), pl.ds(cx, win_w)],
+                scratch.at[slot, k], sems.at[slot, k]).start()
+        return starts
 
-        yy = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_H, BLOCK_W),
+    def kernel(shift_ref, frac_ref, stack_hbm, out_ref, rej_ref, scratch,
+               sems):
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        step = bi * grid_w + bj
+        n_steps = pl.num_programs(0) * grid_w
+        slot = step % 2
+        row0 = bi * block_h
+        col0 = bj * block_w
+
+        # double buffering: step 0 issues its own DMAs; every step
+        # issues the NEXT step's DMAs before computing, so the copies
+        # overlap the clip loop
+        @pl.when(step == 0)
+        def _first():
+            issue_dmas(0, shift_ref, stack_hbm, scratch, sems, 0)
+
+        # residuals are recomputed (cheap scalar math) rather than
+        # carried across grid steps
+        starts = []
+        for k in range(n):
+            base_r = row0 + shift_ref[k, 0] + MAX_SHIFT - 1
+            base_c = col0 + shift_ref[k, 1] + MAX_SHIFT - 1
+            starts.append((base_r - (base_r // 8) * 8,
+                           base_c - (base_c // 128) * 128))
+
+        @pl.when(step + 1 < n_steps)
+        def _prefetch():
+            issue_dmas(step + 1, shift_ref, stack_hbm, scratch, sems,
+                       (step + 1) % 2)
+
+        yy = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
                                       0).astype(jnp.float32)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_H, BLOCK_W),
+        xx = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
                                       1).astype(jnp.float32)
         rowf = row0.astype(jnp.float32)
         colf = col0.astype(jnp.float32)
 
         vals = []
         for k in range(n):
-            dmas[k].wait()
+            pltpu.make_async_copy(scratch.at[slot, k], scratch.at[slot, k],
+                                  sems.at[slot, k]).wait()
             r_off, c_off = starts[k]
             wy = _cr_weights(frac_ref[k, 0])
             wx = _cr_weights(frac_ref[k, 1])
             # rotate the residual away so the taps are static slices;
             # negative dynamic rotates miscompile on this backend, so
             # rotate by the positive complement instead
-            tile = pltpu.roll(scratch[k], (WIN_H - r_off) % WIN_H, 0)
+            tile = pltpu.roll(scratch[slot, k], (win_h - r_off) % win_h, 0)
             tmp = None
             for j in range(4):
-                term = wy[j] * tile[j:j + BLOCK_H, :]
+                term = wy[j] * tile[j:j + block_h, :]
                 tmp = term if tmp is None else tmp + term
-            tmp = pltpu.roll(tmp, (WIN_W - c_off) % WIN_W, 1)
+            tmp = pltpu.roll(tmp, (win_w - c_off) % win_w, 1)
             out = None
             for j in range(4):
-                term = wx[j] * tmp[:, j:j + BLOCK_W]
+                term = wx[j] * tmp[:, j:j + block_w]
                 out = term if out is None else out + term
             # outside-source pixels are exactly 0 (align.rs:48-51) and
             # participate in the clip as finite values, matching the
@@ -124,16 +157,19 @@ def _make_kernel(n: int, h: int, w: int, sigma_low: float,
 
 @partial(jax.jit,
          static_argnames=("sigma_low", "sigma_high", "max_iter",
-                          "interpret"))
+                          "interpret", "block_h", "block_w"))
 def shift_clip_fused(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
                      sigma_low: float = 3.0, sigma_high: float = 3.0,
-                     max_iter: int = 5, interpret: bool = False):
+                     max_iter: int = 5, interpret: bool = False,
+                     block_h: int = BLOCK_H, block_w: int = BLOCK_W):
     """Shift each frame by (dys[k], dxs[k]) bicubically, then sigma-clip
     combine. Returns (combined [H, W], rejected scalar i32).
 
     Offsets are clamped to ±(MAX_SHIFT−3) (integer part).
     """
     n, h, w = stack.shape
+    win_h = block_h + _HALO_H
+    win_w = block_w + _HALO_W
     dys = jnp.clip(jnp.asarray(dys, jnp.float32), -MAX_SHIFT + 2,
                    MAX_SHIFT - 3)
     dxs = jnp.clip(jnp.asarray(dxs, jnp.float32), -MAX_SHIFT + 2,
@@ -146,22 +182,23 @@ def shift_clip_fused(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
     # edge-replicated padding gives the reference's clamped-tap bicubic
     # semantics; bottom/right margins also cover the ragged last block
     # and the aligned-window overshoot
-    padded = jnp.pad(stack, ((0, 0), (MAX_SHIFT, MAX_SHIFT + WIN_H),
-                             (MAX_SHIFT, MAX_SHIFT + WIN_W)), mode="edge")
+    padded = jnp.pad(stack, ((0, 0), (MAX_SHIFT, MAX_SHIFT + win_h),
+                             (MAX_SHIFT, MAX_SHIFT + win_w)), mode="edge")
 
-    grid = (pl.cdiv(h, BLOCK_H), pl.cdiv(w, BLOCK_W))
-    kernel = _make_kernel(n, h, w, sigma_low, sigma_high, max_iter)
+    grid = (pl.cdiv(h, block_h), pl.cdiv(w, block_w))
+    kernel = _make_kernel(n, h, w, sigma_low, sigma_high, max_iter,
+                          block_h, block_w, grid[1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((BLOCK_H, BLOCK_W), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((BLOCK_H, BLOCK_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j, *_: (i, j)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, WIN_H, WIN_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((n,)),
+            pltpu.VMEM((2, n, win_h, win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n)),
         ],
     )
     combined, rejected = pl.pallas_call(
