@@ -163,3 +163,38 @@ def test_surface_confidence(rng):
                               rel=0.05)
     assert float(compute_surface_confidence(jnp.zeros(16), 1.0)) == 0.0
     assert float(compute_surface_confidence(jnp.zeros(0), 1.0)) == 0.0
+
+
+def test_auto_map_by_metadata_three_plus():
+    from astroburst_tpu.metadata.channel_mapper import (auto_map_by_metadata,
+                                                        auto_map_channels)
+    files = [{"path": "a.fits", "filter": "F090W"},
+             {"path": "b.fits", "filter": "F200W"},
+             {"path": "c.fits", "filter": "F444W"}]
+    out = auto_map_by_metadata(files)
+    assert out["R"]["path"] == "c.fits"   # longest wavelength
+    assert out["G"]["path"] == "b.fits"
+    assert out["B"]["path"] == "a.fits"   # shortest
+    assert auto_map_channels(files) == out
+
+
+def test_auto_map_two_and_filename_fallback():
+    from astroburst_tpu.metadata.channel_mapper import auto_map_channels
+    files = [{"path": "x_f115w.fits", "filter": "F115W"},
+             {"path": "y_f356w.fits", "filter": "F356W"},
+             {"path": "lum_master.fits", "filter": None}]
+    out = auto_map_channels(files)
+    assert out["R"]["path"] == "y_f356w.fits"
+    assert out["B"]["path"] == "x_f115w.fits"
+    assert out["L"]["path"] == "lum_master.fits"  # filename "lum"
+    assert "G" not in out
+
+
+def test_auto_map_filename_only():
+    from astroburst_tpu.metadata.channel_mapper import auto_map_channels
+    files = [{"path": "m31_ha.fits"}, {"path": "m31_oiii.fits"},
+             {"path": "m31_sii.fits"}]
+    out = auto_map_channels(files)
+    assert out["R"]["path"] == "m31_ha.fits"
+    assert out["G"]["path"] == "m31_oiii.fits"
+    assert out["B"]["path"] == "m31_sii.fits"
