@@ -21,6 +21,7 @@ TPU re-design:
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -33,6 +34,8 @@ import numpy as np
 from astroburst_tpu.alignment.phase_correlation import phase_correlate
 from astroburst_tpu.analysis.star_detection import detect_stars
 from astroburst_tpu.ops.resample import catmull_rom
+
+_LOG = logging.getLogger("astroburst_tpu.alignment")
 
 MAX_STARS = 120
 TRIANGLE_TOLERANCE = 0.02
@@ -369,7 +372,8 @@ def _fallback_phase_correlation(reference, target, rows, cols
 
 def align_channel_affine(reference, target) -> AffineAlignResult:
     """Full chain: detect → triangles → vote → RANSAC affine → rigid →
-    phase correlation → identity (affine.rs:129-270)."""
+    phase correlation → identity (affine.rs:129-270). Fallback
+    decisions are logged like the reference (affine.rs:141-207)."""
     ref = jnp.asarray(reference)
     tgt = jnp.asarray(target)
     rows, cols = ref.shape
@@ -380,28 +384,41 @@ def align_channel_affine(reference, target) -> AffineAlignResult:
     tgt_stars = np.array([(s.x, s.y) for s in tgt_det.stars[:MAX_STARS]])
 
     if len(ref_stars) < MIN_MATCHES_RIGID or len(tgt_stars) < MIN_MATCHES_RIGID:
+        _LOG.warning("affine: too few stars (ref=%d tgt=%d), falling back "
+                     "to phase correlation", len(ref_stars), len(tgt_stars))
         return _fallback_phase_correlation(reference, target, rows, cols)
 
     ref_tris = build_triangles(ref_stars)
     tgt_tris = build_triangles(tgt_stars)
     if len(ref_tris[0]) == 0 or len(tgt_tris[0]) == 0:
+        _LOG.warning("affine: no usable triangles, falling back to phase "
+                     "correlation")
         return _fallback_phase_correlation(reference, target, rows, cols)
 
     matches = match_triangles(ref_stars, tgt_stars, ref_tris, tgt_tris)
     if len(matches) < MIN_MATCHES_RIGID:
+        _LOG.warning("affine: %d star matches (< %d), falling back to "
+                     "phase correlation", len(matches), MIN_MATCHES_RIGID)
         return _fallback_phase_correlation(reference, target, rows, cols)
 
     if len(matches) >= MIN_MATCHES_AFFINE:
         result = ransac_affine(matches, "affine")
-        if result is not None and check_transform_sanity(result, rows,
-                                                         cols) is None:
-            return result
+        if result is not None:
+            reason = check_transform_sanity(result, rows, cols)
+            if reason is None:
+                return result
+            _LOG.warning("affine: transform rejected (%s), trying rigid",
+                         reason)
 
     result = ransac_affine(matches, "rigid")
-    if result is not None and check_transform_sanity(result, rows,
-                                                     cols) is None:
-        return result
+    if result is not None:
+        reason = check_transform_sanity(result, rows, cols)
+        if reason is None:
+            return result
+        _LOG.warning("affine: rigid transform rejected (%s)", reason)
 
+    _LOG.warning("affine: star-based alignment failed, falling back to "
+                 "phase correlation")
     return _fallback_phase_correlation(reference, target, rows, cols)
 
 
