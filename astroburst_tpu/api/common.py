@@ -83,6 +83,32 @@ def load_cached(path: str) -> CacheEntry:
     return entry
 
 
+def load_cached_many(paths, depth: int = 2):
+    """load_cached over a path list with host decode pipelined ahead
+    of device stats (io.prefetch pattern): uncached files decode on a
+    bounded thread pool while earlier entries' stats dispatch. Returns
+    entries in input order; cache semantics identical to load_cached.
+    """
+    import concurrent.futures as cf
+
+    paths = list(paths)
+    cached = {p: GLOBAL_IMAGE_CACHE.get(p) for p in paths}
+    to_load = [p for p in paths if cached[p] is None
+               or cached[p].stats is None]
+    results = {}
+    if to_load:
+        with cf.ThreadPoolExecutor(max_workers=max(depth, 1)) as pool:
+            futs = {p: pool.submit(extract_image_resolved, p)
+                    for p in dict.fromkeys(to_load)}
+            for p in to_load:
+                resolved = futs[p].result()
+                entry = GLOBAL_IMAGE_CACHE.insert(p, resolved.arr,
+                                                  header=resolved.header)
+                entry.stats = compute_image_stats(entry.image)
+                results[p] = entry
+    return [results.get(p) or cached[p] for p in paths]
+
+
 def load_cached_full(path: str) -> CacheEntry:
     """Like load_cached but guarantees a header is attached."""
     entry = GLOBAL_IMAGE_CACHE.get(path)

@@ -12,6 +12,7 @@ import numpy as np
 from astroburst_tpu import constants as C
 from astroburst_tpu.api import helpers
 from astroburst_tpu.api.common import (MAX_PREVIEW_DIM, Timer, load_cached,
+                                       load_cached_many,
                                        png_path_for)
 from astroburst_tpu.dtypes import (AlignmentMethod, DrizzleConfig,
                                    DrizzleKernel, StackConfig)
@@ -93,7 +94,7 @@ def stack(paths: Sequence[str], output_dir: str = "",
         paths = resolve_inputs(paths[0])
     if not paths:
         raise InvalidInput("No frames to stack")
-    entries = [load_cached(p) for p in paths]
+    entries = load_cached_many(paths)
     config = StackConfig(
         sigma_low=sigma_low if sigma_low is not None else 3.0,
         sigma_high=sigma_high if sigma_high is not None else 3.0,
@@ -150,7 +151,7 @@ def run_pipeline_cmd(channels: Sequence[dict], output_dir: str = "",
     masters = _masters_from_paths(bias_paths, dark_paths, flat_paths)
     inputs = []
     for ch in channels:
-        lights = [load_cached(p).image for p in ch["lights"]]
+        lights = [e.image for e in load_cached_many(ch["lights"])]
         inputs.append(ChannelInput(label=ch.get("label", "L"),
                                    lights=lights))
     result = run_batch_pipeline(
@@ -196,7 +197,7 @@ def drizzle_stack_cmd(paths: Sequence[str], output_dir: str = "",
     registered — kept for API completeness)."""
     t0 = Timer()
     out_dir = resolve_output_dir(output_dir)
-    entries = [load_cached(p) for p in paths]
+    entries = load_cached_many(paths)
     config = DrizzleConfig(
         scale=scale if scale is not None else C.DEFAULT_DRIZZLE_SCALE,
         pixfrac=pixfrac if pixfrac is not None else C.DEFAULT_DRIZZLE_PIXFRAC,
