@@ -16,7 +16,7 @@ Batched use (vmap over a frame axis) is supported by `correlate_single`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -132,28 +132,39 @@ def correlate_single(a, b):
             jnp.where(bad, zero, confidence))
 
 
+@lru_cache(maxsize=None)
+def _box_matrix(ds: int, box: int, n: int):
+    """[ds, n] matrix averaging each length-`box` run (host f32)."""
+    import numpy as np
+    m = np.zeros((ds, n), np.float32)
+    for i in range(ds):
+        m[i, i * box:(i + 1) * box] = 1.0 / box
+    return m
+
+
 def _coarse_box_downsample(img, max_dim: int):
     """Integer box-mean downsample for the coarse pass.
 
     The reference's coarse pass area-averages to ≤512²
-    (phase_correlation.rs:10, sampling.rs area path); the exact
-    fractional-coverage average is a dense banded matmul here (~13
-    GFLOP per 5655×2206 frame). The coarse displacement only seeds the
-    512² refinement crop, so an integer box mean over the largest
-    divisible crop is equivalent for that purpose and is one pass over
-    the pixels. Returns (ds, box_y, box_x) with ds ≤ max_dim per side.
+    (phase_correlation.rs:10, sampling.rs area path). The coarse
+    displacement only seeds the 512² refinement crop, so an integer
+    box mean over the largest divisible region is equivalent for that
+    purpose (exact fractional coverage would add ~10× the FLOPs for
+    no seeding benefit). Returns (ds, box_y, box_x), ds ≤ max_dim.
     """
     rows, cols = img.shape[-2], img.shape[-1]
     by = -(-rows // max_dim)
     bx = -(-cols // max_dim)
     ds_r = rows // by
     ds_c = cols // bx
-    crop = img[..., :ds_r * by, :ds_c * bx]
-    # two single-axis reductions lay out far better than one
-    # mean(axis=(-3, -1)) (which forces a relayout of the full plane)
-    lead = img.shape[:-2]
-    s1 = crop.reshape(*lead, ds_r, by, ds_c * bx).sum(axis=-2)
-    ds = s1.reshape(*lead, ds_r, ds_c, bx).sum(axis=-1) / (by * bx)
+    # banded box matrices on the MXU read the plane exactly once —
+    # crop+reshape+reduce forms materialize full-plane copies instead.
+    # Default (bf16) precision: ~1e-3 relative is far inside what peak
+    # localization on the coarse surface needs (the fine pass redoes
+    # the estimate at full f32).
+    mr = jnp.asarray(_box_matrix(ds_r, by, rows))
+    mc = jnp.asarray(_box_matrix(ds_c, bx, cols))
+    ds = jnp.einsum("rh,...hw,cw->...rc", mr, img, mc)
     return ds, by, bx
 
 

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
-_DIRECT_MAX = 512  # largest direct DFT matmul
+# largest direct DFT matmul; 512 also works but costs ~10x the FLOPs
+# of one more four-step level for the same measured accuracy (1.7e-7
+# rel vs f64 numpy at n=512)
+_DIRECT_MAX = 256
 
 
 def next_power_of_two(n: int) -> int:
