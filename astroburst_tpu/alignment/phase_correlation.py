@@ -164,7 +164,11 @@ def _coarse_box_downsample(img, max_dim: int):
     # the estimate at full f32).
     mr = jnp.asarray(_box_matrix(ds_r, by, rows))
     mc = jnp.asarray(_box_matrix(ds_c, bx, cols))
-    ds = jnp.einsum("rh,...hw,cw->...rc", mr, img, mc)
+    # contract the minor (lane) axis first — it reads the plane once
+    # in its native layout; a single einsum picks an order that
+    # relayouts the full plane (~6 GB extra traffic at 15 frames)
+    tmp = jnp.matmul(img, mc.T)          # [..., rows, ds_c]
+    ds = jnp.einsum("rh,...hc->...rc", mr, tmp)
     return ds, by, bx
 
 

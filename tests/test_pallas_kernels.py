@@ -68,3 +68,56 @@ def test_fused_kernel_large_offsets_clamped(rng):
     got, _ = shift_clip_fused(s, dys, jnp.zeros(3, jnp.float32),
                               3.0, 3.0, 2, interpret=True)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_fused_kernel_single_frame_identity_shift(rng):
+    s = jnp.asarray(_stack(rng, n=1, h=70, w=300, nan_frac=0.0,
+                           outlier_frac=0.0))
+    got, rej = shift_clip_fused(s, jnp.zeros(1), jnp.zeros(1), 3.0, 3.0, 5,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(s[0]), atol=1e-4)
+    assert int(rej) == 0
+
+
+def test_fused_kernel_moderately_large_integer_shifts(rng):
+    # exercises preshift windows far from the content (|k| up to 40)
+    n = 4
+    s = jnp.asarray(_stack(rng, n=n, h=120, w=200, nan_frac=0.0,
+                           outlier_frac=0.0))
+    dys = jnp.asarray([0.0, 37.0, -40.0, 13.0], jnp.float32)
+    dxs = jnp.asarray([0.0, -33.0, 25.0, -7.0], jnp.float32)
+    shifted = jnp.stack([shift_bicubic(s[k], float(dys[k]), float(dxs[k]))
+                         for k in range(n)])
+    ref, _ = jax.jit(lambda x: sigma_clip_core(x, 3.0, 3.0, 3))(shifted)
+    got, _ = shift_clip_fused(s, dys, dxs, 3.0, 3.0, 3, interpret=True)
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert (d < 5e-3).mean() > 0.999
+
+
+def test_fused_kernel_fractional_only_shifts(rng):
+    n = 3
+    s = jnp.asarray(_stack(rng, n=n, h=90, w=140, nan_frac=0.0,
+                           outlier_frac=0.0))
+    dys = jnp.asarray([0.25, -0.5, 0.75], jnp.float32)
+    dxs = jnp.asarray([-0.33, 0.9, 0.0], jnp.float32)
+    shifted = jnp.stack([shift_bicubic(s[k], float(dys[k]), float(dxs[k]))
+                         for k in range(n)])
+    ref, _ = jax.jit(lambda x: sigma_clip_core(x, 3.0, 3.0, 2))(shifted)
+    got, _ = shift_clip_fused(s, dys, dxs, 3.0, 3.0, 2, interpret=True)
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert (d < 5e-3).mean() > 0.999
+
+
+def test_fused_kernel_ragged_nonmultiple_shape(rng):
+    # h, w far from block multiples; also wider than one block column
+    n = 5
+    s = jnp.asarray(_stack(rng, n=n, h=67, w=515, nan_frac=0.0,
+                           outlier_frac=0.0))
+    dys = jnp.asarray(rng.uniform(-5, 5, n).astype(np.float32))
+    dxs = jnp.asarray(rng.uniform(-5, 5, n).astype(np.float32))
+    shifted = jnp.stack([shift_bicubic(s[k], float(dys[k]), float(dxs[k]))
+                         for k in range(n)])
+    ref, _ = jax.jit(lambda x: sigma_clip_core(x, 3.0, 3.0, 3))(shifted)
+    got, _ = shift_clip_fused(s, dys, dxs, 3.0, 3.0, 3, interpret=True)
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert (d < 5e-3).mean() > 0.999
