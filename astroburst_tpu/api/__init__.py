@@ -10,7 +10,8 @@ caller's concern (the reference's spawn_blocking analog).
 from astroburst_tpu.api.io import (process_fits, process_fits_full,
                                    get_raw_pixels_preview)
 from astroburst_tpu.api.export import (export_fits, export_fits_rgb,
-                                       export_png, export_rgb_png)
+                                       export_png, export_rgb_png,
+                                       export_zip_bundle)
 from astroburst_tpu.api.compose import (
     compose_rgb_cmd, restretch_composite_cmd, clear_composite_cache_cmd,
     update_composite_channel_cmd, blend_channels_cmd, align_channels_cmd,
@@ -54,6 +55,7 @@ __all__ = [
     "process_fits", "process_fits_full", "get_raw_pixels_preview",
     # export
     "export_fits", "export_fits_rgb", "export_png", "export_rgb_png",
+    "export_zip_bundle",
     # compose
     "compose_rgb_cmd", "restretch_composite_cmd",
     "clear_composite_cache_cmd", "update_composite_channel_cmd",

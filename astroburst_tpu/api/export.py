@@ -228,3 +228,51 @@ def export_rgb_png(output_path: str, bit_depth: Optional[int] = None,
         C.RES_DIMENSIONS: [cols, rows],
         C.RES_ELAPSED_MS: t0.elapsed_ms(),
     }
+
+
+def export_zip_bundle(file_paths, zip_path: str,
+                      progress_cb=None) -> dict:
+    """Bundle exported artifacts into an uncompressed ZIP.
+
+    Reference behavior: src/hooks/useZipExport.ts — collects the done
+    files' rendered PNGs into a JSZip archive with STORE compression
+    (no deflate), renaming *.fits → *.png, skipping unreadable entries,
+    and reporting progress 0–90 over files + 90–100 over the write.
+    Here any artifact list zips server-side; `progress_cb(pct)` mirrors
+    the hook's progress points.
+    """
+    import zipfile
+
+    t0 = Timer()
+    names_seen = set()
+    written = []
+    skipped = []
+    with zipfile.ZipFile(zip_path, "w",
+                         compression=zipfile.ZIP_STORED) as zf:
+        n = max(len(file_paths), 1)
+        for i, path in enumerate(file_paths):
+            base = os.path.basename(path)
+            if base.lower().endswith((".fits", ".fit")):
+                base = os.path.splitext(base)[0] + ".png"
+            name = base
+            k = 1
+            while name in names_seen:
+                stem, ext = os.path.splitext(base)
+                name = f"{stem}_{k}{ext}"
+                k += 1
+            try:
+                zf.write(path, arcname=name)
+                names_seen.add(name)
+                written.append(name)
+            except OSError:
+                skipped.append(path)
+            if progress_cb is not None:
+                progress_cb(round((i + 1) / n * 90))
+    if progress_cb is not None:
+        progress_cb(100)
+    return {
+        C.RES_PATH: zip_path,
+        "files": written,
+        "skipped": skipped,
+        C.RES_ELAPSED_MS: t0.elapsed_ms(),
+    }

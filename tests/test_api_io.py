@@ -100,3 +100,24 @@ def test_zip_transparency(tmp_path, rng):
         zf.write(inner, "inner.fits")
     out = process_fits(zpath, str(tmp_path / "out"))
     assert out[C.RES_DIMENSIONS] == [16, 16]
+
+
+def test_export_zip_bundle(tmp_path):
+    import zipfile
+    import astroburst_tpu.api as api
+    p1 = tmp_path / "m16_ha.png"
+    p1.write_bytes(b"\x89PNG fake")
+    p2 = tmp_path / "m16_oiii.fits"
+    p2.write_bytes(b"SIMPLE")
+    pcts = []
+    out = api.export_zip_bundle(
+        [str(p1), str(p2), str(tmp_path / "missing.png")],
+        str(tmp_path / "bundle.zip"), progress_cb=pcts.append)
+    assert out["files"] == ["m16_ha.png", "m16_oiii.png"]
+    assert out["skipped"] == [str(tmp_path / "missing.png")]
+    assert pcts[-1] == 100 and pcts[0] <= 90
+    with zipfile.ZipFile(tmp_path / "bundle.zip") as zf:
+        assert sorted(zf.namelist()) == ["m16_ha.png", "m16_oiii.png"]
+        assert all(i.compress_type == zipfile.ZIP_STORED
+                   for i in zf.infolist())
+    assert "elapsed_ms" in out
