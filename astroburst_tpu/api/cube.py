@@ -6,6 +6,7 @@ import os
 import threading
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,12 +35,34 @@ def _get_lazy(path: str) -> LazyCube:
         return cube
 
 
+@jax.jit
+def _norm_u8_kernel(norm):
+    mn = jnp.min(norm)
+    rng = jnp.maximum(jnp.max(norm) - mn, 1e-10)
+    return jnp.clip((norm - mn) * (255.0 / rng), 0, 255).astype(jnp.uint8)
+
+
+def _norm_u8(plane, g):
+    """Device-side normalize + u8 quantize (async dispatch)."""
+    return _norm_u8_kernel(normalize_with_global(plane, g))
+
+
 def _save_norm_png(plane, g, path: str) -> None:
-    norm = np.asarray(normalize_with_global(plane, g))
-    mn, mx = float(norm.min()), float(norm.max())
-    rng = max(mx - mn, 1e-10)
-    u8 = np.clip((norm - mn) * (255.0 / rng), 0, 255).astype(np.uint8)
-    save_gray_png(u8, path)
+    save_gray_png(np.asarray(_norm_u8(plane, g)), path)
+
+
+def _save_pngs_pipelined(u8_frames, paths, workers: int = 4) -> None:
+    """Fetch + PNG-encode already-dispatched u8 device frames on a
+    thread pool — device renders overlap host encoding (the reference
+    renders sampled cube frames serially, cmd/cube.rs:15)."""
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [pool.submit(lambda u, p: save_gray_png(np.asarray(u), p),
+                            u8, path)
+                for u8, path in zip(u8_frames, paths)]
+        for f in futs:
+            f.result()
 
 
 def process_cube_cmd(path: str, output_dir: str = "",
@@ -65,11 +88,12 @@ def process_cube_cmd(path: str, output_dir: str = "",
     frames_dir = os.path.join(out_dir, f"{stem}_frames")
     os.makedirs(frames_dir, exist_ok=True)
     step = max(frame_step or max(depth // 16, 1), 1)
-    count = 0
-    for i, z in enumerate(range(0, depth, step)):
-        _save_norm_png(cube[z], g,
-                       os.path.join(frames_dir, f"frame_{i:04}.png"))
-        count += 1
+    zs = list(range(0, depth, step))
+    u8s = [_norm_u8(cube[z], g) for z in zs]  # async device renders
+    _save_pngs_pipelined(
+        u8s, [os.path.join(frames_dir, f"frame_{i:04}.png")
+              for i in range(len(zs))])
+    count = len(zs)
 
     spectrum = np.asarray(cube[:, rows // 2, cols // 2])
     classification = classify_spectral_cube(result.header, depth)
@@ -108,11 +132,12 @@ def process_cube_lazy_cmd(path: str, output_dir: str = "",
     frames_dir = os.path.join(out_dir, f"{stem}_frames")
     os.makedirs(frames_dir, exist_ok=True)
     step = max(frame_step or max(g0.naxis3 // 16, 1), 1)
-    count = 0
-    for i, z in enumerate(range(0, g0.naxis3, step)):
-        _save_norm_png(jnp.asarray(cube.get_frame(z)), g,
-                       os.path.join(frames_dir, f"frame_{i:04}.png"))
-        count += 1
+    zs = list(range(0, g0.naxis3, step))
+    u8s = [_norm_u8(jnp.asarray(cube.get_frame(z)), g) for z in zs]
+    _save_pngs_pipelined(
+        u8s, [os.path.join(frames_dir, f"frame_{i:04}.png")
+              for i in range(len(zs))])
+    count = len(zs)
 
     spectrum = cube.spectrum(g0.naxis2 // 2, g0.naxis1 // 2)
     classification = classify_spectral_cube(cube.header, g0.naxis3)
