@@ -98,14 +98,16 @@ def _interval_mad(sorted_rows, lo, hi, med, data_range):
         return jnp.minimum(b, hi) - jnp.maximum(a, lo)
 
     def solve(k):
-        lo_r = jnp.zeros_like(med)
-        hi_r = jnp.broadcast_to(data_range, med.shape)
-        for _ in range(35):
+        def step(_, carry):
+            lo_r, hi_r = carry
             mid = (lo_r + hi_r) * 0.5
             c = count_within(mid)
             ok = c >= (k + 1)
-            hi_r = jnp.where(ok, mid, hi_r)
-            lo_r = jnp.where(ok, lo_r, mid)
+            return (jnp.where(ok, lo_r, mid), jnp.where(ok, mid, hi_r))
+
+        lo_r, hi_r = jax.lax.fori_loop(
+            0, 35, step,
+            (jnp.zeros_like(med), jnp.broadcast_to(data_range, med.shape)))
         return hi_r
 
     return jnp.where(cnt > 0, (solve(k1) + solve(k2)) * 0.5, 0.0)
@@ -219,8 +221,11 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
         wfinite = jnp.isfinite(win)
         wabove = wfinite & (win > threshold)
         # bounded flood fill from the center: iterative 3×3 dilation
-        member = jnp.zeros((window, window), bool).at[half, half].set(True)
-        for _ in range(half):
+        # (fori_loop keeps the HLO small — unrolling half×8 shifts per
+        # vmapped peak made compiles minutes-long)
+        member0 = jnp.zeros((window, window), bool).at[half, half].set(True)
+
+        def grow(_, member):
             m = jnp.pad(member, 1)  # zero-pad: no wraparound connectivity
             grown = member
             for dy in (0, 1, 2):
@@ -228,7 +233,9 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
                     if dy == 1 and dx == 1:
                         continue
                     grown = grown | m[dy:dy + window, dx:dx + window]
-            member = grown & wabove
+            return grown & wabove
+
+        member = jax.lax.fori_loop(0, half, grow, member0)
         v = jnp.where(member, jnp.maximum(win - bg_med, 0.0), 0.0)
         npix = jnp.sum(member.astype(jnp.int32))
         flux = jnp.sum(v)
