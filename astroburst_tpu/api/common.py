@@ -120,6 +120,30 @@ def load_cached_full(path: str) -> CacheEntry:
     return entry
 
 
+def load_many_from_cache_or_disk(keys_or_paths, depth: int = 2):
+    """load_from_cache_or_disk over a list, disk misses decoded on a
+    bounded thread pool (see load_cached_many). Order preserved."""
+    out = {}
+    disk = []
+    for p in keys_or_paths:
+        if p in out:
+            continue
+        entry = GLOBAL_IMAGE_CACHE.get(p)
+        if entry is not None:
+            if entry.stats is None:
+                entry.stats = compute_image_stats(entry.image)
+            out[p] = entry
+        elif p.startswith("__"):
+            from astroburst_tpu.errors import CacheMiss
+            raise CacheMiss(f"cache key not found: {p}")
+        else:
+            disk.append(p)
+    if disk:
+        for p, entry in zip(disk, load_cached_many(disk, depth)):
+            out[p] = entry
+    return [out[p] for p in keys_or_paths]
+
+
 def load_from_cache_or_disk(key_or_path: str) -> CacheEntry:
     """Accept a pinned cache key or a filesystem path (common.rs:124-150)."""
     entry = GLOBAL_IMAGE_CACHE.get(key_or_path)

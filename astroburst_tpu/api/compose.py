@@ -11,6 +11,7 @@ import numpy as np
 from astroburst_tpu import constants as C
 from astroburst_tpu.api import helpers
 from astroburst_tpu.api.common import (MAX_PREVIEW_DIM, Timer, load_cached,
+                                       load_many_from_cache_or_disk,
                                        load_from_cache_or_disk)
 from astroburst_tpu.compose.channel_blend import blend_channels
 from astroburst_tpu.compose.lrgb import apply_lrgb
@@ -181,7 +182,7 @@ def blend_channels_cmd(channel_paths: Sequence[str],
     out_dir = resolve_output_dir(output_dir)
     if not channel_paths:
         raise InvalidInput("No channel paths provided")
-    entries = [load_from_cache_or_disk(p) for p in channel_paths]
+    entries = load_many_from_cache_or_disk(channel_paths)
     dims = [e.image.shape for e in entries]
     max_rows = max(d[0] for d in dims)
     max_cols = max(d[1] for d in dims)
@@ -308,7 +309,7 @@ def crop_channels_cmd(paths: Sequence[str], output_dir: str = "",
     resolve_output_dir(output_dir)
     if not paths:
         raise InvalidInput("No channel paths provided")
-    entries = [load_from_cache_or_disk(p) for p in paths]
+    entries = load_many_from_cache_or_disk(paths)
     regions = [_detect_valid_region(np.asarray(e.image),
                                     AUTO_CROP_THRESHOLD) for e in entries]
     top = max(r[0] for r in regions)
