@@ -11,9 +11,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
-import jax
 import numpy as np
 
 from astroburst_tpu import io as aio

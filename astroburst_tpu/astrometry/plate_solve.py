@@ -139,7 +139,6 @@ def solve_astrometry_net(image_path: str,
                                 "scale_lower": config.scale_low,
                                 "scale_upper": config.scale_high})
 
-        import mimetypes
         boundary = "astroburstBoundary"
         with open(image_path, "rb") as f:
             file_data = f.read()

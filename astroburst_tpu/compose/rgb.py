@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from astroburst_tpu.alignment.pair import align_pair_with_label
 from astroburst_tpu.compose.white_balance import select_wb_reference
 from astroburst_tpu.constants import MAX_DIMENSION_RATIO, PADDING_THRESHOLD
-from astroburst_tpu.dtypes import (AutoStfConfig, ImageStats,
+from astroburst_tpu.dtypes import (ImageStats,
                                    RgbComposeConfig, StfParams,
                                    WhiteBalanceMode)
 from astroburst_tpu.errors import InvalidInput

@@ -13,7 +13,7 @@ import mmap as _mmap
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+
 
 import numpy as np
 
@@ -21,7 +21,6 @@ from astroburst_tpu.constants import BLOCK_SIZE
 from astroburst_tpu.errors import FitsError
 from astroburst_tpu.io.fits_reader import (_BITPIX_DTYPES, decode_pixels,
                                            parse_header_at)
-from astroburst_tpu.io.header import HduHeader
 
 DEFAULT_CACHE_SIZE = 64
 BATCH_SIZE = 32

@@ -11,7 +11,7 @@ frontend; here it is a headless helper feeding api.compose.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 JWST_FILTER_WAVELENGTH: Dict[str, int] = {
     "F070W": 700, "F090W": 900, "F115W": 1150, "F140M": 1400,

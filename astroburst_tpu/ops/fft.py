@@ -16,7 +16,7 @@ padding (fft.rs:64 next_power_of_two).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Tuple
 
 import jax

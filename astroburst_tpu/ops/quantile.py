@@ -21,8 +21,6 @@ the reference's NaNs-sort-to-end / validity-filter semantics.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ larger ones the single-rank (histogram-path) median.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -13,16 +13,14 @@ entry caps (cache.rs:306-310). Stats/header upgrade paths preserved
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from astroburst_tpu.constants import (COMPOSITE_KEY_B, COMPOSITE_KEY_G,
-                                      COMPOSITE_KEY_R, STAR_MASK_KEY,
-                                      WIZARD_CACHE_PREFIX)
+from astroburst_tpu.constants import STAR_MASK_KEY, WIZARD_CACHE_PREFIX
 from astroburst_tpu.dtypes import ImageStats
 from astroburst_tpu.errors import CacheMiss
 from astroburst_tpu.io.header import HduHeader
