@@ -69,16 +69,30 @@ def try_extract_rgb_resolved(path: str):
     return aio.try_extract_rgb(resolved)
 
 
+def _attach_stats(key: str, entry: CacheEntry) -> CacheEntry:
+    """Fill entry.stats through the cache's lock-protected upgrade path
+    so concurrent callers agree on one ImageStats. If the entry was
+    evicted meanwhile it is no longer shared and a direct assignment is
+    safe."""
+    if entry.stats is None:
+        stats = compute_image_stats(entry.image)
+        GLOBAL_IMAGE_CACHE.upgrade_stats(key, stats)
+        if entry.stats is None:
+            entry.stats = stats
+    return entry
+
+
 def load_cached(path: str) -> CacheEntry:
     """Device-array cache lookup keyed by path; computes stats on miss
     (common.rs:124-150)."""
     entry = GLOBAL_IMAGE_CACHE.get(path)
     if entry is not None and entry.stats is not None:
         return entry
-    resolved = extract_image_resolved(path)
-    entry = GLOBAL_IMAGE_CACHE.insert(path, resolved.arr, header=resolved.header)
-    entry.stats = compute_image_stats(entry.image)
-    return entry
+    if entry is None:
+        resolved = extract_image_resolved(path)
+        entry = GLOBAL_IMAGE_CACHE.insert(path, resolved.arr,
+                                          header=resolved.header)
+    return _attach_stats(path, entry)
 
 
 def load_cached_many(paths, depth: int = 2):
@@ -102,8 +116,7 @@ def load_cached_many(paths, depth: int = 2):
                 resolved = futs[p].result()
                 entry = GLOBAL_IMAGE_CACHE.insert(p, resolved.arr,
                                                   header=resolved.header)
-                entry.stats = compute_image_stats(entry.image)
-                results[p] = entry
+                results[p] = _attach_stats(p, entry)
     return [results.get(p) or cached[p] for p in paths]
 
 
@@ -114,8 +127,7 @@ def load_cached_full(path: str) -> CacheEntry:
         return entry
     resolved = extract_image_resolved(path)
     entry = GLOBAL_IMAGE_CACHE.insert(path, resolved.arr, header=resolved.header)
-    entry.stats = compute_image_stats(entry.image)
-    return entry
+    return _attach_stats(path, entry)
 
 
 def load_many_from_cache_or_disk(keys_or_paths, depth: int = 2):
@@ -128,9 +140,7 @@ def load_many_from_cache_or_disk(keys_or_paths, depth: int = 2):
             continue
         entry = GLOBAL_IMAGE_CACHE.get(p)
         if entry is not None:
-            if entry.stats is None:
-                entry.stats = compute_image_stats(entry.image)
-            out[p] = entry
+            out[p] = _attach_stats(p, entry)
         elif p.startswith("__"):
             from astroburst_tpu.errors import CacheMiss
             raise CacheMiss(f"cache key not found: {p}")
@@ -146,9 +156,7 @@ def load_from_cache_or_disk(key_or_path: str) -> CacheEntry:
     """Accept a pinned cache key or a filesystem path (common.rs:124-150)."""
     entry = GLOBAL_IMAGE_CACHE.get(key_or_path)
     if entry is not None:
-        if entry.stats is None:
-            entry.stats = compute_image_stats(entry.image)
-        return entry
+        return _attach_stats(key_or_path, entry)
     if key_or_path.startswith("__"):
         from astroburst_tpu.errors import CacheMiss
         raise CacheMiss(f"cache key not found: {key_or_path}")

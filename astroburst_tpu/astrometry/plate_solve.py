@@ -161,6 +161,7 @@ def solve_astrometry_net(image_path: str,
 
         deadline = time.monotonic() + config.timeout_secs
         job_id = None
+        solved = False
         while time.monotonic() < deadline:
             sub = post(f"{base}/submissions/{subid}", {})
             jobs = [j for j in sub.get("jobs", []) if j]
@@ -168,11 +169,12 @@ def solve_astrometry_net(image_path: str,
                 job_id = jobs[0]
                 status = post(f"{base}/jobs/{job_id}", {})
                 if status.get("status") == "success":
+                    solved = True
                     break
                 if status.get("status") == "failure":
                     raise SolveError("astrometry.net solve failed")
             time.sleep(3.0)
-        if job_id is None:
+        if not solved:
             raise SolveError("astrometry.net solve timed out")
 
         info = post(f"{base}/jobs/{job_id}/info", {})

@@ -11,6 +11,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from astroburst_tpu import native as _native
 from astroburst_tpu.constants import BLOCK_SIZE
 from astroburst_tpu.errors import FitsError
 from astroburst_tpu.io.header import HduHeader
@@ -73,14 +74,23 @@ def _compute_bzero_bscale(arrays: Sequence[np.ndarray]) -> Tuple[float, float]:
 
 def _encode_plane(data: np.ndarray, bitpix: int, bzero: float,
                   bscale: float) -> bytes:
+    """BE-encode one plane. BITPIX 16 rounds half-away-from-zero after
+    clamping, matching the reference's Rust `f64::round`
+    (writer.rs:100-119); the OpenMP native encoders implement the same
+    rule and are preferred when built."""
     flat = np.ascontiguousarray(data, dtype=np.float32).ravel()
     if bitpix == 16:
+        out = _native.encode_be_i16_native(flat, bzero, bscale)
+        if out is not None:
+            return out
         physical = (flat.astype(np.float64) - bzero) / bscale
-        clamped = np.clip(np.round(physical), -32768, 32767).astype(">i2")
-        return clamped.tobytes()
+        clamped = np.clip(physical, -32768.0, 32767.0)
+        rounded = np.copysign(np.floor(np.abs(clamped) + 0.5), clamped)
+        return rounded.astype(">i2").tobytes()
     if bitpix == -64:
         return flat.astype(">f8").tobytes()
-    return flat.astype(">f4").tobytes()
+    out = _native.encode_be_f32_native(flat)
+    return out if out is not None else flat.astype(">f4").tobytes()
 
 
 def _pad(n: int) -> bytes:

@@ -12,7 +12,7 @@ compare+reduce that the VPU eats. With BINS edges per round and R
 rounds the bracket shrinks BINS^R-fold; the final value interpolates
 rank position inside the bracket exactly like the reference's
 `resolve_rank_in_hist` (stats.rs:334-353). Resolution: range / BINS^R
-(default 64^4 ≈ 1.7e7), far below the 1e-5 parity budget.
+(default 64^3 ≈ 2.6e5 ⇒ ~4e-6 relative), inside the 1e-5 parity budget.
 
 Invalid values must be mapped to +inf by the caller: they then fail
 every `x < edge` compare and never enter any count, which reproduces

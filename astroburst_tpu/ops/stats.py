@@ -86,8 +86,8 @@ def _histogram_kernel(x: jax.Array, dmin: jax.Array, dmax: jax.Array,
                            total[None]])
     counts = jnp.diff(cum)
     # values below dmin (possible when a caller passes a custom range)
-    below = _count_below_edges(xm, dmin[None])[0]
-    counts = counts.at[0].add(-below)
+    # stay in bin 0: the reference's `as usize` cast saturates negative
+    # bin indices to 0 (stats.rs:393-403)
     return counts
 
 

@@ -47,7 +47,7 @@ def test_sharded_atrous_matches_local(rng):
     for step in (1, 2, 4):
         ref = np.asarray(atrous_smooth(jnp.asarray(x), step))
         got = np.asarray(sharded_atrous_smooth(xs, mesh, "rows", step))
-        np.testing.assert_allclose(got, ref, atol=1e-5), step
+        np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"step={step}")
 
 
 def test_sharded_stencil_map_halo_identity(rng):
