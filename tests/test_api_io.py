@@ -35,6 +35,7 @@ def test_process_fits(mono_fits, tmp_path):
     assert C.RES_ELAPSED_MS in out
 
 
+@pytest.mark.slow
 def test_process_fits_full(mono_fits, tmp_path):
     p, data = mono_fits
     out = process_fits_full(p, str(tmp_path / "out"))
@@ -45,6 +46,7 @@ def test_process_fits_full(mono_fits, tmp_path):
     assert C.RES_MAD in out[C.RES_STATS]
 
 
+@pytest.mark.slow
 def test_process_rgb_fits_seeds_composite(tmp_path, rng):
     r = rng.random((32, 32)).astype(np.float32) + 0.1
     g = r * 0.5
@@ -90,6 +92,7 @@ def test_raw_preview_scrubs_nans(tmp_path):
     assert np.isfinite(arr).all()
 
 
+@pytest.mark.slow
 def test_zip_transparency(tmp_path, rng):
     import zipfile
     data = rng.random((16, 16)).astype(np.float32) + 0.2

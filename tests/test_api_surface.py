@@ -60,6 +60,7 @@ def star_fits(tmp_path, rng):
     return p, img
 
 
+@pytest.mark.slow
 def test_export_roundtrip(star_fits, tmp_path):
     p, img = star_fits
     out = api.export_fits(p, str(tmp_path / "out.fits"), bitpix=-32)
@@ -78,6 +79,7 @@ def test_export_png(star_fits, tmp_path):
     assert out[C.RES_BIT_DEPTH] == 8
 
 
+@pytest.mark.slow
 def test_metadata_commands(star_fits):
     p, _ = star_fits
     h = api.get_header(p)
@@ -94,6 +96,7 @@ def test_metadata_commands(star_fits):
     assert det[C.RES_FILTERS][0][C.RES_FILTER_DETECTION] is not None
 
 
+@pytest.mark.slow
 def test_analysis_commands(star_fits, tmp_path):
     p, _ = star_fits
     hist = api.compute_histogram(p, bins=128)
@@ -107,6 +110,7 @@ def test_analysis_commands(star_fits, tmp_path):
     assert sub[C.RES_FRAME_COUNT] == 1
 
 
+@pytest.mark.slow
 def test_visualization_commands(star_fits, tmp_path):
     p, _ = star_fits
     out = api.apply_stf_render(p, str(tmp_path / "o"), 0.01, 0.25, 1.0)
@@ -115,6 +119,7 @@ def test_visualization_commands(star_fits, tmp_path):
     assert tiles["levels"]
 
 
+@pytest.mark.slow
 def test_composite_workflow(star_fits, tmp_path):
     """blend → auto WB → calibrate+SCNR (idempotent) → reset →
     restretch → tone → detect composite → export RGB."""
@@ -173,6 +178,7 @@ def test_composite_workflow(star_fits, tmp_path):
     assert not GLOBAL_IMAGE_CACHE.contains(C.COMPOSITE_KEY_R)
 
 
+@pytest.mark.slow
 def test_wizard_align_crop(star_fits, tmp_path, rng):
     p, img = star_fits
     shifted = np.roll(img, (2, -3), axis=(0, 1))
@@ -192,6 +198,7 @@ def test_wizard_align_crop(star_fits, tmp_path, rng):
     assert crop[C.RES_OUTPUT_DIMS][0] <= 96
 
 
+@pytest.mark.slow
 def test_processing_commands(star_fits, tmp_path):
     p, _ = star_fits
     out_dir = str(tmp_path / "o")
@@ -210,6 +217,7 @@ def test_processing_commands(star_fits, tmp_path):
     assert ms[C.RES_ITERATIONS_RUN] >= 1
 
 
+@pytest.mark.slow
 def test_composite_stretch_commands(star_fits, tmp_path):
     p, _ = star_fits
     out_dir = str(tmp_path / "o")
@@ -224,6 +232,7 @@ def test_composite_stretch_commands(star_fits, tmp_path):
     api.clear_composite_cache_cmd()
 
 
+@pytest.mark.slow
 def test_stacking_commands(tmp_path, rng):
     frames = []
     base = rng.normal(100.0, 2.0, (48, 48)).astype(np.float32)
@@ -249,6 +258,7 @@ def test_stacking_commands(tmp_path, rng):
     assert pipe[C.CHANNELS][0]["preview_b64"]
 
 
+@pytest.mark.slow
 def test_cube_commands(tmp_path, rng):
     from tests.test_fits_io import make_fits
     cube = (rng.random((8, 24, 24)) + 0.5).astype(np.float32)
@@ -285,6 +295,7 @@ def test_wcs_and_spcc_commands(star_fits, tmp_path):
         api.plate_solve_cmd(p)
 
 
+@pytest.mark.slow
 def test_psf_command(tmp_path, rng):
     from astroburst_tpu.synth import FieldConfig, NoiseParams, SynthConfig, \
         generate
@@ -311,6 +322,7 @@ def test_config_commands():
     assert api.get_api_key("astrometry")["api_key"] == "testkey123"
 
 
+@pytest.mark.slow
 def test_synth_commands(tmp_path):
     out = api.generate_synth_cmd(str(tmp_path / "o"), width=128, height=128,
                                  n_stars=20)

@@ -32,6 +32,7 @@ def _chan(shape=(64, 64), level=0.2, seed=0, stars=True):
     return np.abs(img).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_process_rgb_basic():
     r = _chan(level=0.3, seed=1)
     g = _chan(level=0.2, seed=2)
@@ -52,6 +53,7 @@ def test_process_rgb_requires_two_channels():
         process_rgb(_chan(), None, None)
 
 
+@pytest.mark.slow
 def test_process_rgb_synthesizes_missing_channel():
     r = _chan(level=0.3, seed=1)
     g = _chan(level=0.2, seed=2)
@@ -61,6 +63,7 @@ def test_process_rgb_synthesizes_missing_channel():
         (out.stats_r.median + out.stats_g.median) / 2, rel=0.1)
 
 
+@pytest.mark.slow
 def test_process_rgb_alignment_recovers_offset():
     r = _chan(shape=(128, 128), level=0.3, seed=4)
     g = np.roll(r, (3, -2), axis=(0, 1)) * 0.7
@@ -70,6 +73,7 @@ def test_process_rgb_alignment_recovers_offset():
     assert out.offset_g[1] == pytest.approx(-2.0, abs=0.5)
 
 
+@pytest.mark.slow
 def test_process_rgb_scnr():
     r = _chan(level=0.2, seed=5, stars=False)
     g = _chan(level=0.6, seed=6, stars=False)
@@ -101,6 +105,7 @@ def test_harmonize_ratio_cap():
         harmonize_dimensions(jnp.asarray(r), jnp.asarray(g), None)
 
 
+@pytest.mark.slow
 def test_process_drizzle_rgb():
     r = _chan(level=0.4, seed=8)
     g = _chan(level=0.3, seed=9)

@@ -44,6 +44,7 @@ def test_arcsinh_nan_safe():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_arcsinh_rgb_shared_range_preserves_ratios():
     r = jnp.full((4, 4), 0.8, jnp.float32)
     g = jnp.full((4, 4), 0.4, jnp.float32)
@@ -239,6 +240,7 @@ def test_star_mask_luminance_protection():
     assert float(np.asarray(res.mask)[102, 12]) > 0.5
 
 
+@pytest.mark.slow
 def test_masked_stretch_reaches_target_background():
     img = _star_image()
     res = masked_stretch(img, MaskedStretchConfig(iterations=10,
@@ -252,6 +254,7 @@ def test_masked_stretch_reaches_target_background():
     assert out[40, 40] > out[5, 5]
 
 
+@pytest.mark.slow
 def test_masked_stretch_converges_flag():
     img = _star_image()
     res = masked_stretch(img, MaskedStretchConfig(iterations=10))

@@ -78,6 +78,7 @@ def test_point_samplers(rng):
         42.0, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_robust_asinh_preview(rng):
     x = (rng.random((64, 64)) * 0.01 + 0.001).astype(np.float32)
     x[0, :] = 0.0      # padding

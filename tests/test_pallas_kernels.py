@@ -33,6 +33,7 @@ def test_clip_kernel_single_iteration(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_kernel_matches_shift_plus_clip(rng):
     n = 6
     s = jnp.asarray(_stack(rng, n=n, h=130, w=170))

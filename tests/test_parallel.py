@@ -18,6 +18,7 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_stack_step_matches_single_device(rng):
     frames = rng.normal(100, 3, (8, 128, 64)).astype(np.float32)
     yy, xx = np.mgrid[0:128, 0:64]
@@ -40,6 +41,7 @@ def test_sharded_stack_step_matches_single_device(rng):
     assert int(out["rejected"]) == int(single["rejected"])
 
 
+@pytest.mark.slow
 def test_sharded_atrous_matches_local(rng):
     x = rng.random((256, 96)).astype(np.float32)
     mesh = make_mesh(8, ("rows",), (8,))

@@ -53,6 +53,7 @@ def test_sharded_cube_mean_matches_eager(rng):
     np.testing.assert_allclose(mean_s, mean_e, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_cube_median_single_rank_convention(rng):
     """The sharded median targets rank ⌈n/2⌉ (the histogram-path
     convention, stats.rs:100), refined to range/16^5."""

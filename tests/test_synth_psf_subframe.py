@@ -76,6 +76,7 @@ def test_generate_stack_distinct_noise():
     assert np.asarray(gt).max() > 0
 
 
+@pytest.mark.slow
 def test_estimate_psf_recovers_fwhm():
     cfg = SynthConfig(
         field=FieldConfig(width=512, height=512, n_stars=60, seed=9,
