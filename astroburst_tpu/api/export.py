@@ -131,11 +131,13 @@ def export_fits_rgb(output_path: str, r_path: Optional[str] = None,
 
 
 def _to_u16(plane01: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(plane01 * 65535.0), 0, 65535).astype(np.uint16)
+    # clamp-then-truncate matches the reference's `as u16` cast
+    # (render/rgb.rs:72-74, grayscale.rs)
+    return (np.clip(plane01, 0.0, 1.0) * 65535.0).astype(np.uint16)
 
 
 def _to_u8(plane01: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(plane01 * 255.0), 0, 255).astype(np.uint8)
+    return (np.clip(plane01, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
 def export_png(path: str, output_path: str, bit_depth: Optional[int] = None,

@@ -34,22 +34,37 @@ def _use_pallas_default() -> bool:
 def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
                         sigma_high: float = 3.0, max_iter: int = 5,
                         align: bool = True, exact_pair: bool = False,
-                        use_pallas: bool | None = None):
+                        use_pallas: bool | None = None,
+                        true_shape: tuple | None = None,
+                        off_max: int = 16):
     """Pure traced pipeline over [N, H, W]; returns a dict of arrays:
     combined f32 [H,W], preview u8 [H,W], offsets [N,2] f32,
     confidences [N] f32, rejected i32, stf (shadow, midtone) f32.
 
-    On TPU the shift + sigma-clip stage runs as the fused Pallas
-    kernel (stacking.fused_kernel) — one HBM pass over the stack."""
+    On TPU the shift + sigma-clip stage runs as the one-pass Pallas
+    kernel (stacking.onepass_kernel): ONE read of the raw stack, no
+    pad/preshift round trips. Alignment offsets are clamped to
+    ±off_max on that path (dithered exposure offsets are small; the
+    two-stage ±253 px kernel remains for use_pallas="two_stage").
+    ``true_shape=(h, w)`` marks ``stack`` as already padded by
+    onepass_kernel.pad_stack_aligned — pre-pad at ingest to keep this
+    a true one-pass program."""
     if use_pallas is None:
         use_pallas = _use_pallas_default()
+    from astroburst_tpu.stacking.onepass_kernel import (MAX_FRAMES,
+                                                        shift_clip_onepass)
     n = stack.shape[0]
-    ref = stack[0]
+    if true_shape is not None:
+        h, w = true_shape
+        view = stack[:, :h, :w]  # lazy; fuses into the coarse downsample
+    else:
+        view = stack
+    ref = view[0]
     if align and n > 1:
         def est(frame):
             return _phase_correlate_traced(ref, frame)
 
-        dys1, dxs1, confs1 = jax.vmap(est)(stack[1:])
+        dys1, dxs1, confs1 = jax.vmap(est)(view[1:])
         dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys1])
         dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs1])
         confs = jnp.concatenate([jnp.zeros(1, jnp.float32), confs1])
@@ -58,12 +73,16 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
         dxs = jnp.zeros(n, jnp.float32)
         confs = jnp.zeros(n, jnp.float32)
 
-    if use_pallas:
+    if use_pallas == "two_stage" or (use_pallas and n > MAX_FRAMES):
         from astroburst_tpu.stacking.fused_kernel import shift_clip_fused
-        combined, rejected = shift_clip_fused(stack, dys, dxs, sigma_low,
+        combined, rejected = shift_clip_fused(view, dys, dxs, sigma_low,
                                               sigma_high, max_iter)
+    elif use_pallas:
+        combined, rejected = shift_clip_onepass(
+            stack, dys, dxs, sigma_low, sigma_high, max_iter,
+            off_max=off_max, true_shape=true_shape)
     else:
-        full = jax.vmap(shift_bicubic)(stack, dys, dxs)
+        full = jax.vmap(shift_bicubic)(view, dys, dxs)
         combined, rejected = sigma_clip_core(full, sigma_low, sigma_high,
                                              max_iter)
     mn, mx, _total, count, med, mad = stats_core(combined, exact_pair)

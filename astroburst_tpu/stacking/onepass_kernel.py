@@ -1,0 +1,270 @@
+"""One-pass fused shift + sigma-clip kernel.
+
+Reads the raw [N, H, W] stack from HBM exactly once and writes the
+combined plane — no edge-pad pass, no integer-preshift pass (the two
+extra HBM round trips of stacking/fused_kernel.py's two-stage design).
+
+Per grid block it issues ONE multi-frame DMA for a shared aligned
+window sized to cover every frame's shift span (static bound
+``off_max``), then per frame:
+
+1. two ``pltpu.roll``s align the window to the frame's integer shift
+   residual (dynamic roll amounts, always the positive complement —
+   negative dynamic rolls miscompile on Mosaic);
+2. edge replication (the reference's clamped bicubic taps,
+   src-tauri/src/core/imaging/sampling.rs:51-80 ``clamp_index``) is
+   reproduced with iota-selects against broadcast edge rows/cols; the
+   bottom row / right column of the source are extracted with one more
+   roll each (their VMEM position is dynamic);
+3. the Catmull-Rom fractional taps run as static slices and the
+   per-pixel clip loop (clip_kernel._clip_body) finishes on registers.
+
+Window-coverage construction (rows; cols identical with 128-lane
+tiles): per frame k the 4-tap span for a ``block_h``-row output block
+starting at ``row0`` is ``[sr_k, sr_k + block_h + 2]`` with
+``sr_k = row0 - 1 + ky_k``. With every ``ky`` clamped to ±off_max the
+shared span is ≤ 2·off_max + block_h + 3; fetching
+``F_r = ceil8(2·off_max + block_h + 10)`` rows from
+``clamp(floor8(min_k sr_k), 0, Hp - F_r)`` always covers the clamped
+needed range (the fetch start clamp IS the row clamp: rows outside
+[0, h) are then reproduced by the selects). The stack must be padded
+to Hp = max(ceil8(h), F_r), Wp = max(ceil128(w), F_c) — DMA window
+shapes and the clamp bounds must be (8, 128)-tile aligned; padding
+content is never read into results.
+
+Semantics identical to shift_bicubic + sigma_clip_core
+(reference: src-tauri/src/core/stacking/combine.rs:14-91,
+src-tauri/src/core/stacking/align.rs:36-57) for offsets with
+|integer part| ≤ off_max; the wrapper clamps offsets into that range.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from astroburst_tpu.stacking.clip_kernel import _clip_body
+from astroburst_tpu.stacking.fused_kernel import _cr_weights
+
+BLOCK_H = 64
+BLOCK_W = 256
+OFF_MAX = 16
+# one-pass VMEM scratch is 2·N·F_r·F_c·4 bytes; beyond ~20 frames it
+# exceeds the ~11 MB cap and the caller should use the two-stage path
+MAX_FRAMES = 20
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def window_dims(block_h: int, block_w: int, off_max: int):
+    f_r = _ceil_to(2 * off_max + block_h + 10, 8)
+    f_c = _ceil_to(2 * off_max + block_w + 130, 128)
+    return f_r, f_c
+
+
+def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
+                 sigma_low: float, sigma_high: float, max_iter: int,
+                 block_h: int, block_w: int, grid_w: int, off_max: int):
+    f_r, f_c = window_dims(block_h, block_w, off_max)
+
+    def window_base(step, base_ref):
+        """Aligned, clamped shared-window origin for grid step."""
+        row0 = (step // grid_w) * block_h
+        col0 = (step % grid_w) * block_w
+        sr_min = row0 - 1 + base_ref[0]
+        sc_min = col0 - 1 + base_ref[1]
+        ry = jnp.clip((sr_min // 8) * 8, 0, hp - f_r)
+        cx = jnp.clip((sc_min // 128) * 128, 0, wp - f_c)
+        return pl.multiple_of(ry, 8), pl.multiple_of(cx, 128)
+
+    def issue(step, base_ref, stack_hbm, scratch, sems, slot):
+        ry, cx = window_base(step, base_ref)
+        pltpu.make_async_copy(
+            stack_hbm.at[:, pl.ds(ry, f_r), pl.ds(cx, f_c)],
+            scratch.at[slot], sems.at[slot]).start()
+
+    def kernel(shift_ref, frac_ref, base_ref, stack_hbm, out_ref, rej_ref,
+               scratch, sems):
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        step = bi * grid_w + bj
+        n_steps = pl.num_programs(0) * grid_w
+        slot = step % 2
+        row0 = bi * block_h
+        col0 = bj * block_w
+
+        @pl.when(step == 0)
+        def _first():
+            issue(0, base_ref, stack_hbm, scratch, sems, 0)
+
+        @pl.when(step + 1 < n_steps)
+        def _prefetch():
+            issue(step + 1, base_ref, stack_hbm, scratch, sems,
+                  (step + 1) % 2)
+
+        ry, cx = window_base(step, base_ref)
+        pltpu.make_async_copy(scratch.at[slot], scratch.at[slot],
+                              sems.at[slot]).wait()
+
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (f_r, f_c), 0)
+        icol = jax.lax.broadcasted_iota(jnp.int32, (f_r, f_c), 1)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
+                                      0).astype(jnp.float32)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
+                                      1).astype(jnp.float32)
+        rowf = row0.astype(jnp.float32)
+        colf = col0.astype(jnp.float32)
+
+        vals = []
+        for k in range(n):
+            sr = row0 - 1 + shift_ref[k, 0]
+            sc = col0 - 1 + shift_ref[k, 1]
+            t0 = scratch[slot, k]
+            # align window row j ↔ source row sr + j
+            tr = pltpu.roll(t0, (f_r - ((sr - ry) % f_r)) % f_r, 0)
+            # source edge rows for the clamped taps: row 0 sits at VMEM
+            # row 0 whenever sr < 0 (the fetch clamp forces ry = 0);
+            # row h-1 sits at a dynamic position — extract it by roll
+            top = t0[0:1, :]
+            bot = pltpu.roll(t0, (f_r - ((h - 1 - ry) % f_r)) % f_r,
+                             0)[0:1, :]
+            tr = jnp.where(jrow + sr < 0, top, tr)
+            tr = jnp.where(jrow + sr > h - 1, bot, tr)
+            # columns, on the row-fixed tile (corners replicate both axes)
+            tc = pltpu.roll(tr, (f_c - ((sc - cx) % f_c)) % f_c, 1)
+            left = tr[:, 0:1]
+            right = pltpu.roll(tr, (f_c - ((w - 1 - cx) % f_c)) % f_c,
+                               1)[:, 0:1]
+            tc = jnp.where(icol + sc < 0, left, tc)
+            tc = jnp.where(icol + sc > w - 1, right, tc)
+
+            wy = _cr_weights(frac_ref[k, 0])
+            wx = _cr_weights(frac_ref[k, 1])
+            tmp = None
+            for j in range(4):
+                term = wy[j] * tc[j:j + block_h, :]
+                tmp = term if tmp is None else tmp + term
+            out = None
+            for j in range(4):
+                term = wx[j] * tmp[:, j:j + block_w]
+                out = term if out is None else out + term
+            # outside-source pixels are exactly 0 (align.rs:48-51)
+            dy = shift_ref[k, 0].astype(jnp.float32) + frac_ref[k, 0]
+            dx = shift_ref[k, 1].astype(jnp.float32) + frac_ref[k, 1]
+            sy = yy + rowf + dy
+            sx = xx + colf + dx
+            inside = ((sy >= -0.5) & (sy <= h - 0.5) & (sx >= -0.5) &
+                      (sx <= w - 0.5))
+            vals.append(jnp.where(inside, out, 0.0))
+
+        combined, rejected = _clip_body(vals, sigma_low, sigma_high,
+                                        max_iter)
+        out_ref[:] = combined
+        rej_ref[:] = rejected
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("h", "w", "sigma_low", "sigma_high", "max_iter",
+                          "off_max", "interpret", "block_h", "block_w"))
+def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
+                               dxs: jax.Array, h: int, w: int,
+                               sigma_low: float, sigma_high: float,
+                               max_iter: int, off_max: int,
+                               interpret: bool, block_h: int,
+                               block_w: int):
+    n, hp, wp = stack.shape
+    f_r, f_c = window_dims(block_h, block_w, off_max)
+    if hp % 8 or wp % 128 or hp < f_r or wp < f_c:
+        raise ValueError(
+            f"padded stack must be (8,128)-aligned and >= window "
+            f"({f_r},{f_c}); got ({hp},{wp})")
+    dys = jnp.clip(jnp.asarray(dys, jnp.float32), -off_max, off_max)
+    dxs = jnp.clip(jnp.asarray(dxs, jnp.float32), -off_max, off_max)
+    ky = jnp.floor(dys)
+    kx = jnp.floor(dxs)
+    shifts = jnp.stack([ky, kx], axis=1).astype(jnp.int32)
+    fracs = jnp.stack([dys - ky, dxs - kx], axis=1).astype(jnp.float32)
+    base = jnp.stack([jnp.min(shifts[:, 0]), jnp.min(shifts[:, 1])])
+
+    grid = (pl.cdiv(h, block_h), pl.cdiv(w, block_w))
+    kernel = _make_kernel(n, h, w, hp, wp, sigma_low, sigma_high,
+                          max_iter, block_h, block_w, grid[1], off_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((block_h, block_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j, *_: (i, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, n, f_r, f_c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    combined, rejected = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(shifts, fracs, base, stack)
+    return combined, jnp.sum(rejected)
+
+
+def pad_stack_aligned(stack: jax.Array, block_h: int = BLOCK_H,
+                      block_w: int = BLOCK_W,
+                      off_max: int = OFF_MAX) -> jax.Array:
+    """Pad [N, H, W] to the aligned layout the one-pass kernel reads.
+
+    Do this once at ingest (host-side it is free during H2D); the
+    padding content is never read into results.
+    """
+    n, h, w = stack.shape
+    f_r, f_c = window_dims(block_h, block_w, off_max)
+    hp = max(_ceil_to(h, 8), f_r)
+    wp = max(_ceil_to(w, 128), f_c)
+    if (hp, wp) == (h, w):
+        return stack
+    return jnp.pad(stack, ((0, 0), (0, hp - h), (0, wp - w)))
+
+
+def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
+                       sigma_low: float = 3.0, sigma_high: float = 3.0,
+                       max_iter: int = 5, off_max: int = OFF_MAX,
+                       true_shape: tuple | None = None,
+                       interpret: bool = False, block_h: int = BLOCK_H,
+                       block_w: int = BLOCK_W):
+    """Shift each frame by (dys[k], dxs[k]) bicubically, then sigma-clip
+    combine, in ONE pass over the stack. Returns (combined [h, w],
+    rejected scalar i32).
+
+    Offsets are clamped to ±off_max. ``true_shape=(h, w)`` marks
+    ``stack`` as already padded by :func:`pad_stack_aligned`; otherwise
+    the stack is padded here (one extra XLA copy — pre-pad at ingest
+    to avoid it).
+    """
+    if true_shape is not None:
+        h, w = true_shape
+    else:
+        _, h, w = stack.shape
+        stack = pad_stack_aligned(stack, block_h, block_w, off_max)
+    hp, wp = stack.shape[1], stack.shape[2]
+    # shrink blocks for small planes so the window fits inside the pad
+    while block_h > 8 and window_dims(block_h, block_w, off_max)[0] > hp:
+        block_h //= 2
+    while block_w > 128 and window_dims(block_h, block_w, off_max)[1] > wp:
+        block_w //= 2
+    return _shift_clip_onepass_padded(stack, dys, dxs, h, w, sigma_low,
+                                      sigma_high, max_iter, off_max,
+                                      interpret, block_h, block_w)

@@ -1,0 +1,134 @@
+"""One-pass shift+clip kernel parity (interpret mode, CPU backend).
+
+Oracle: shift_bicubic + sigma_clip_core, the XLA forms already
+parity-tested against the reference semantics
+(src-tauri/src/core/stacking/combine.rs:14-91, align.rs:36-57).
+Borderline clip decisions may flip on the last f32 ulp when the
+kernel's tap-summation order differs from the oracle's — tolerated as
+a bounded count of differing pixels, like the two-stage fused tests.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from astroburst_tpu.ops.resample import shift_bicubic
+from astroburst_tpu.stacking.combine import sigma_clip_core
+from astroburst_tpu.stacking.onepass_kernel import (pad_stack_aligned,
+                                                    shift_clip_onepass)
+
+
+def _stack(rng, n=6, h=130, w=170, nan_frac=0.02):
+    s = rng.normal(100, 5, (n, h, w)).astype(np.float32)
+    s[rng.random(s.shape) < nan_frac] = np.nan
+    return s
+
+
+def _oracle(s, dys, dxs, lo, hi, iters, off_max=16):
+    shifted = jnp.stack([
+        shift_bicubic(s[k], float(np.clip(dys[k], -off_max, off_max)),
+                      float(np.clip(dxs[k], -off_max, off_max)))
+        for k in range(s.shape[0])])
+    return jax.jit(lambda x: sigma_clip_core(x, lo, hi, iters))(shifted)
+
+
+def _assert_close(got, ref, got_rej, ref_rej, max_flips=3):
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    flips = int((d > 5e-3).sum())
+    assert flips <= max_flips, f"{flips} pixels differ, max |d|={d.max()}"
+    assert abs(int(got_rej) - int(ref_rej)) <= max_flips
+
+
+def test_onepass_matches_shift_plus_clip(rng):
+    s = jnp.asarray(_stack(rng))
+    dys = rng.uniform(-12, 12, 6).astype(np.float32)
+    dxs = rng.uniform(-12, 12, 6).astype(np.float32)
+    ref, ref_rej = _oracle(s, dys, dxs, 2.5, 3.0, 5)
+    got, got_rej = shift_clip_onepass(s, jnp.asarray(dys), jnp.asarray(dxs),
+                                      2.5, 3.0, 5, interpret=True)
+    _assert_close(got, ref, got_rej, ref_rej)
+
+
+def test_onepass_zero_offsets_is_plain_clip(rng):
+    s = jnp.asarray(_stack(rng, n=4, h=80, w=90, nan_frac=0.0))
+    z = jnp.zeros(4, jnp.float32)
+    ref, _ = jax.jit(lambda x: sigma_clip_core(x, 3.0, 3.0, 3))(s)
+    got, _ = shift_clip_onepass(s, z, z, 3.0, 3.0, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_onepass_extreme_offsets_at_clamp(rng):
+    # every border-replication path (top/bottom/left/right + corners)
+    s = jnp.asarray(_stack(rng, n=4, h=200, w=300, nan_frac=0.0))
+    dys = np.float32([0, 16, -16, 15])
+    dxs = np.float32([0, -16, 16, -15])
+    ref, ref_rej = _oracle(s, dys, dxs, 3.0, 3.0, 3)
+    got, got_rej = shift_clip_onepass(s, jnp.asarray(dys), jnp.asarray(dxs),
+                                      3.0, 3.0, 3, interpret=True)
+    _assert_close(got, ref, got_rej, ref_rej)
+
+
+def test_onepass_fractional_near_clamp(rng):
+    s = jnp.asarray(_stack(rng, n=4, h=200, w=300, nan_frac=0.0))
+    dys = np.float32([0, 15.75, -15.75, 0.5])
+    dxs = np.float32([0, -15.3, 15.9, -0.25])
+    ref, ref_rej = _oracle(s, dys, dxs, 3.0, 3.0, 3)
+    got, got_rej = shift_clip_onepass(s, jnp.asarray(dys), jnp.asarray(dxs),
+                                      3.0, 3.0, 3, interpret=True)
+    _assert_close(got, ref, got_rej, ref_rej)
+
+
+def test_onepass_beyond_off_max_clamped(rng):
+    # offsets beyond off_max are clamped into range, not wrapped
+    s = jnp.asarray(_stack(rng, n=3, h=64, w=64, nan_frac=0.0))
+    dys = jnp.asarray([0.0, 500.0, -500.0], jnp.float32)
+    got, _ = shift_clip_onepass(s, dys, jnp.zeros(3, jnp.float32),
+                                3.0, 3.0, 2, interpret=True)
+    ref, _ = _oracle(s, np.float32([0, 500, -500]), np.zeros(3, np.float32),
+                     3.0, 3.0, 2)
+    _assert_close(got, ref, 0, 0)
+
+
+def test_onepass_single_frame_identity(rng):
+    s = jnp.asarray(_stack(rng, n=1, h=70, w=300, nan_frac=0.0))
+    got, rej = shift_clip_onepass(s, jnp.zeros(1), jnp.zeros(1), 3.0, 3.0, 5,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(s[0]), atol=1e-4)
+    assert int(rej) == 0
+
+
+def test_onepass_ragged_multiblock(rng):
+    # h, w far from block multiples, > 1 block in each direction
+    s = jnp.asarray(_stack(rng, n=5, h=131, w=515, nan_frac=0.0))
+    dys = rng.uniform(-5, 5, 5).astype(np.float32)
+    dxs = rng.uniform(-5, 5, 5).astype(np.float32)
+    ref, ref_rej = _oracle(s, dys, dxs, 3.0, 3.0, 3)
+    got, got_rej = shift_clip_onepass(s, jnp.asarray(dys), jnp.asarray(dxs),
+                                      3.0, 3.0, 3, interpret=True)
+    _assert_close(got, ref, got_rej, ref_rej)
+
+
+def test_onepass_prepadded_matches_autopad(rng):
+    s = _stack(rng, n=3, h=137, w=250, nan_frac=0.0)
+    dys = jnp.asarray([0.0, 2.5, -3.0], jnp.float32)
+    dxs = jnp.asarray([1.0, 0.0, -2.0], jnp.float32)
+    pre = pad_stack_aligned(jnp.asarray(s))
+    a, ra = shift_clip_onepass(pre, dys, dxs, 3.0, 3.0, 3,
+                               true_shape=(137, 250), interpret=True)
+    b, rb = shift_clip_onepass(jnp.asarray(s), dys, dxs, 3.0, 3.0, 3,
+                               interpret=True)
+    assert a.shape == (137, 250)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ra) == int(rb)
+
+
+def test_onepass_tiny_image(rng):
+    s = jnp.asarray(_stack(rng, n=3, h=40, w=90, nan_frac=0.0))
+    dys = jnp.asarray([1.5, -2.0, 0.0], jnp.float32)
+    dxs = jnp.asarray([0.5, 1.0, -1.5], jnp.float32)
+    ref, ref_rej = _oracle(s, np.float32([1.5, -2, 0]),
+                           np.float32([0.5, 1, -1.5]), 3.0, 3.0, 3)
+    got, got_rej = shift_clip_onepass(s, dys, dxs, 3.0, 3.0, 3,
+                                      interpret=True)
+    _assert_close(got, ref, got_rej, ref_rej)
