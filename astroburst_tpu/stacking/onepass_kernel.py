@@ -112,8 +112,10 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
         pltpu.make_async_copy(scratch.at[slot], scratch.at[slot],
                               sems.at[slot]).wait()
 
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (f_r, f_c), 0)
-        icol = jax.lax.broadcasted_iota(jnp.int32, (f_r, f_c), 1)
+        s_r = block_h + 3  # rows / cols the taps actually read
+        s_c = block_w + 3
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (s_r, f_c), 0)
+        icol = jax.lax.broadcasted_iota(jnp.int32, (s_r, s_c), 1)
         yy = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
                                       0).astype(jnp.float32)
         xx = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
@@ -126,18 +128,26 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
             sr = row0 - 1 + shift_ref[k, 0]
             sc = col0 - 1 + shift_ref[k, 1]
             t0 = scratch[slot, k]
-            # align window row j ↔ source row sr + j
-            tr = pltpu.roll(t0, (f_r - ((sr - ry) % f_r)) % f_r, 0)
-            # source edge rows for the clamped taps: row 0 sits at VMEM
-            # row 0 whenever sr < 0 (the fetch clamp forces ry = 0);
-            # row h-1 sits at a dynamic position — extract it by roll
+            # align window row j ↔ source row sr + j, then keep only
+            # the s_r rows the taps read — the edge fixes and the lane
+            # roll run on the small tile
+            tr = pltpu.roll(t0, (f_r - ((sr - ry) % f_r)) % f_r,
+                            0)[0:s_r, :]
+            # edge replication (sampling.rs clamp_index): source row 0
+            # sits at VMEM row 0 whenever sr < 0 (the fetch clamp
+            # forces ry = 0); row h-1 / col w-1 via dynamic single-row
+            # slices of the unrolled tile
+            # (Mosaic has no dynamic_slice on values — extract the
+            # dynamic-position edge rows/cols with rolls: sublane roll
+            # on the full tile, lane roll on the sliced tile)
             top = t0[0:1, :]
             bot = pltpu.roll(t0, (f_r - ((h - 1 - ry) % f_r)) % f_r,
                              0)[0:1, :]
             tr = jnp.where(jrow + sr < 0, top, tr)
             tr = jnp.where(jrow + sr > h - 1, bot, tr)
             # columns, on the row-fixed tile (corners replicate both axes)
-            tc = pltpu.roll(tr, (f_c - ((sc - cx) % f_c)) % f_c, 1)
+            tc = pltpu.roll(tr, (f_c - ((sc - cx) % f_c)) % f_c,
+                            1)[:, 0:s_c]
             left = tr[:, 0:1]
             right = pltpu.roll(tr, (f_c - ((w - 1 - cx) % f_c)) % f_c,
                                1)[:, 0:1]

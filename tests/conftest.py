@@ -36,35 +36,7 @@ def _clear_cache():
     GLOBAL_IMAGE_CACHE.clear()
 
 
-def ref_valid(x):
-    """Reference validity: finite && > 1e-7."""
-    return np.isfinite(x) & (x > 1e-7)
-
-
-def ref_median(vals):
-    """Reference exact median: even n averages the two middles
-    (median.rs:27-43)."""
-    v = np.sort(np.asarray(vals, dtype=np.float32))
-    n = len(v)
-    if n == 0:
-        return 0.0
-    mid = n // 2
-    if n % 2 == 0:
-        return (float(v[mid - 1]) + float(v[mid])) / 2.0
-    return float(v[mid])
-
-
-def ref_stats(x):
-    """Independent numpy implementation of the reference's exact stats."""
-    flat = np.asarray(x, dtype=np.float32).ravel()
-    valid = flat[ref_valid(flat)]
-    if valid.size == 0:
-        return dict(min=0.0, max=0.0, mean=0.0, median=0.0, mad=0.0,
-                    sigma=0.0, valid_count=0)
-    med = ref_median(valid)
-    mad = ref_median(np.abs(valid - np.float32(med)))
-    return dict(
-        min=float(valid.min()), max=float(valid.max()),
-        mean=float(valid.astype(np.float64).sum() / valid.size),
-        median=med, mad=mad, sigma=max(mad * 1.4826, 1e-30),
-        valid_count=int(valid.size))
+# Reference oracles live in tests/reference_impl (one function per
+# reference file, with Rust line citations and pinned fixtures);
+# re-exported here for the older tests that import them from conftest.
+from tests.reference_impl import ref_median, ref_stats, ref_valid  # noqa: E402,F401
