@@ -520,10 +520,11 @@ def warp_image(image, transform: AffineTransform, out_rows: int,
                out_cols: int, exact: bool = False) -> jax.Array:
     """Bicubic warp: out[y,x] = img(T·(x,y)); outside → 0.
 
-    Default is the fast two-pass form (axis-take gathers); exact=True
-    uses the direct 2D sampler matching the reference bit-for-bit
-    (slow elementwise gathers). Pure translations route to the
-    separable shift (exact and fastest)."""
+    Default is the shear-decomposed form (rolls + index-vector takes —
+    no 2D gathers; see alignment/warp_shear.py); exact=True uses the
+    direct 2D sampler matching the reference bit-for-bit (slow
+    elementwise gathers). Pure translations route to the separable
+    shift (exact and fastest)."""
     img = jnp.asarray(image)
     t = transform
     if (abs(t.a - 1.0) < 1e-12 and abs(t.d - 1.0) < 1e-12 and
@@ -534,4 +535,8 @@ def warp_image(image, transform: AffineTransform, out_rows: int,
     params = jnp.asarray(t.as_tuple(), dtype=jnp.float32)
     if exact or abs(t.a) < 1e-3:
         return _warp_kernel(img, params, out_rows, out_cols)
-    return _warp_two_pass_kernel(img, params, out_rows, out_cols)
+    try:
+        from astroburst_tpu.alignment.warp_shear import warp_shear
+        return warp_shear(img, t, out_rows, out_cols)
+    except ValueError:
+        return _warp_two_pass_kernel(img, params, out_rows, out_cols)
