@@ -87,6 +87,26 @@ def _quadratic(prev, center, nxt):
     return jnp.clip(off, -0.5, 0.5)
 
 
+def _corr_to_shift(corr, fft_rows: int, fft_cols: int):
+    """Peak + SNR confidence + circular unwrap + quadratic subpixel
+    from a correlation surface (subpixel.rs:18-64)."""
+    py, px, peak_val = F.find_peak(corr)
+    n = fft_rows * fft_cols
+    mean = jnp.sum(corr, axis=(-2, -1)) / n
+    var = jnp.sum((corr - mean[..., None, None]) ** 2, axis=(-2, -1)) / max(
+        n - 1, 1)
+    sigma = jnp.sqrt(var)
+    confidence = jnp.where(jnp.abs(sigma) < 1e-15, 0.0,
+                           (peak_val - mean) / jnp.maximum(sigma, 1e-30))
+
+    center, yp, yn, xp, xn = _peak_neighbors(corr, py, px)
+    sub_dy = _quadratic(yp, center, yn)
+    sub_dx = _quadratic(xp, center, xn)
+    raw_dy = jnp.where(py > fft_rows // 2, py - fft_rows, py).astype(jnp.float32)
+    raw_dx = jnp.where(px > fft_cols // 2, px - fft_cols, px).astype(jnp.float32)
+    return raw_dy + sub_dy, raw_dx + sub_dx, confidence
+
+
 def correlate_single(a, b):
     """Single-scale phase correlation; supports leading batch dims.
 
@@ -108,28 +128,45 @@ def correlate_single(a, b):
     cr, ci = F.cross_power(fbr, fbi, far, fai, EPSILON)
     corr, _ = F.ifft2(cr, ci)
 
-    py, px, peak_val = F.find_peak(corr)
-    n = fft_rows * fft_cols
-    mean = jnp.sum(corr, axis=(-2, -1)) / n
-    var = jnp.sum((corr - mean[..., None, None]) ** 2, axis=(-2, -1)) / max(
-        n - 1, 1)
-    sigma = jnp.sqrt(var)
-    confidence = jnp.where(jnp.abs(sigma) < 1e-15, 0.0,
-                           (peak_val - mean) / jnp.maximum(sigma, 1e-30))
-
-    center, yp, yn, xp, xn = _peak_neighbors(corr, py, px)
-    sub_dy = _quadratic(yp, center, yn)
-    sub_dx = _quadratic(xp, center, xn)
-    raw_dy = jnp.where(py > fft_rows // 2, py - fft_rows, py).astype(jnp.float32)
-    raw_dx = jnp.where(px > fft_cols // 2, px - fft_cols, px).astype(jnp.float32)
-
-    dy = raw_dy + sub_dy
-    dx = raw_dx + sub_dx
+    dy, dx, confidence = _corr_to_shift(corr, fft_rows, fft_cols)
 
     bad = _is_constant_or_zero(a) | _is_constant_or_zero(b)
     zero = jnp.zeros_like(dy)
     return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
             jnp.where(bad, zero, confidence))
+
+
+def correlate_two(a, b1, b2):
+    """Phase-correlate TWO targets against one reference with rfft
+    packing: one forward complex FFT carries both targets (real-input
+    conjugate symmetry) and one inverse FFT carries both correlation
+    surfaces (they are real) — half the matmul work of two
+    correlate_single calls. Returns (dy1, dx1, c1, dy2, dx2, c2).
+    """
+    rows, cols = a.shape[-2], a.shape[-1]
+    fft_rows = F.next_power_of_two(rows)
+    fft_cols = F.next_power_of_two(cols)
+
+    fa = _windowed_padded(a, fft_rows, fft_cols)
+    far, fai = F.fft2(fa, jnp.zeros_like(fa))
+    p1 = _windowed_padded(b1, fft_rows, fft_cols)
+    p2 = _windowed_padded(b2, fft_rows, fft_cols)
+    f1r, f1i, f2r, f2i = F.fft2_two_real(p1, p2)
+    c1r, c1i = F.cross_power(f1r, f1i, far, fai, EPSILON)
+    c2r, c2i = F.cross_power(f2r, f2i, far, fai, EPSILON)
+    corr1, corr2 = F.ifft2_two_real(c1r, c1i, c2r, c2i)
+
+    dy1, dx1, conf1 = _corr_to_shift(corr1, fft_rows, fft_cols)
+    dy2, dx2, conf2 = _corr_to_shift(corr2, fft_rows, fft_cols)
+
+    bad_a = _is_constant_or_zero(a)
+    bad1 = bad_a | _is_constant_or_zero(b1)
+    bad2 = bad_a | _is_constant_or_zero(b2)
+    zero = jnp.zeros_like(dy1)
+    return (jnp.where(bad1, zero, dy1), jnp.where(bad1, zero, dx1),
+            jnp.where(bad1, zero, conf1),
+            jnp.where(bad2, zero, dy2), jnp.where(bad2, zero, dx2),
+            jnp.where(bad2, zero, conf2))
 
 
 @lru_cache(maxsize=None)
@@ -224,6 +261,77 @@ def _phase_correlate_traced(ref, tgt):
     zero = jnp.float32(0.0)
     return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
             jnp.where(bad, zero, rconf))
+
+
+def _refine_one(tgt, coarse_dy, coarse_dx, rows, cols):
+    """Clamped dynamic refine crop + origin bookkeeping for one target."""
+    ref_cy = rows // 2
+    ref_cx = cols // 2
+    tgt_cy = jnp.clip(jnp.round(ref_cy + coarse_dy), 0,
+                      rows - 1).astype(jnp.int32)
+    tgt_cx = jnp.clip(jnp.round(ref_cx + coarse_dx), 0,
+                      cols - 1).astype(jnp.int32)
+    tgt_crop = _dynamic_crop(tgt, tgt_cy, tgt_cx, REFINE_CROP_SIZE)
+    ref_y0 = max(rows // 2 - REFINE_CROP_SIZE // 2, 0)
+    ref_x0 = max(cols // 2 - REFINE_CROP_SIZE // 2, 0)
+    tgt_y0 = jnp.clip(tgt_cy - REFINE_CROP_SIZE // 2, 0,
+                      max(rows - REFINE_CROP_SIZE, 0))
+    tgt_x0 = jnp.clip(tgt_cx - REFINE_CROP_SIZE // 2, 0,
+                      max(cols - REFINE_CROP_SIZE, 0))
+    return (tgt_crop, (tgt_y0 - ref_y0).astype(jnp.float32),
+            (tgt_x0 - ref_x0).astype(jnp.float32))
+
+
+@jax.jit
+def _phase_correlate_traced_two(ref, t1, t2):
+    """Coarse-to-fine phase correlation of TWO targets vs one
+    reference, with both FFT stages rfft-packed (correlate_two)."""
+    rows, cols = ref.shape
+    if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
+        return correlate_two(ref, t1, t2)
+
+    ref_ds, by, bx = _coarse_box_downsample(ref, COARSE_MAX_DIM)
+    t1_ds, _, _ = _coarse_box_downsample(t1, COARSE_MAX_DIM)
+    t2_ds, _, _ = _coarse_box_downsample(t2, COARSE_MAX_DIM)
+    cdy1, cdx1, _, cdy2, cdx2, _ = correlate_two(ref_ds, t1_ds, t2_ds)
+
+    ref_crop = _centered_crop_static(ref, REFINE_CROP_SIZE)
+    crop1, off_y1, off_x1 = _refine_one(t1, cdy1 * by, cdx1 * bx,
+                                        rows, cols)
+    crop2, off_y2, off_x2 = _refine_one(t2, cdy2 * by, cdx2 * bx,
+                                        rows, cols)
+    rdy1, rdx1, rc1, rdy2, rdx2, rc2 = correlate_two(ref_crop, crop1, crop2)
+
+    bad_r = _is_constant_or_zero(ref)
+    bad1 = bad_r | _is_constant_or_zero(t1)
+    bad2 = bad_r | _is_constant_or_zero(t2)
+    zero = jnp.float32(0.0)
+    return (jnp.where(bad1, zero, off_y1 + rdy1),
+            jnp.where(bad1, zero, off_x1 + rdx1),
+            jnp.where(bad1, zero, rc1),
+            jnp.where(bad2, zero, off_y2 + rdy2),
+            jnp.where(bad2, zero, off_x2 + rdx2),
+            jnp.where(bad2, zero, rc2))
+
+
+def phase_correlate_stack(ref, tgts):
+    """Traced (dys, dxs, confs) of each frame of ``tgts`` [B, H, W]
+    against ``ref``; frames run in rfft-packed pairs (odd counts pad
+    by duplicating the last frame). The reference frame's spectrum is
+    computed once — it is unbatched under the pair vmap."""
+    b = tgts.shape[0]
+    if b == 1:
+        dy, dx, conf = _phase_correlate_traced(ref, tgts[0])
+        return dy[None], dx[None], conf[None]
+    if b % 2:
+        tgts = jnp.concatenate([tgts, tgts[-1:]], axis=0)
+
+    pair_fn = jax.vmap(lambda u, v: _phase_correlate_traced_two(ref, u, v))
+    d1, x1, c1, d2, x2, c2 = pair_fn(tgts[0::2], tgts[1::2])
+    dys = jnp.stack([d1, d2], axis=1).reshape(-1)[:b]
+    dxs = jnp.stack([x1, x2], axis=1).reshape(-1)[:b]
+    confs = jnp.stack([c1, c2], axis=1).reshape(-1)[:b]
+    return dys, dxs, confs
 
 
 def phase_correlate(reference, target) -> PhaseCorrelationResult:

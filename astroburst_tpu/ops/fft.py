@@ -130,6 +130,42 @@ def ifft2(xr, xi):
     return yr.swapaxes(-1, -2) * inv, yi.swapaxes(-1, -2) * inv
 
 
+def _reverse_freq2(x):
+    """x[(-ky) % R, (-kx) % C] over the last two axes."""
+    return jnp.roll(jnp.flip(x, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
+
+
+def fft2_two_real(x1, x2):
+    """Spectra of TWO real planes from ONE complex FFT2 (rfft packing).
+
+    With Z = FFT2(x1 + i·x2), conjugate symmetry of real inputs
+    separates the spectra: F1 = (Z + conj(Z(-k)))/2 and
+    F2 = (Z - conj(Z(-k)))/(2i). Halves the matmul count vs two
+    fft2 calls (reference contract: math/fft.rs:137-167 runs one full
+    FFT per plane). Returns (f1r, f1i, f2r, f2i).
+    """
+    zr, zi = fft2(x1, x2)
+    zrr = _reverse_freq2(zr)
+    zir = _reverse_freq2(zi)
+    f1r = 0.5 * (zr + zrr)
+    f1i = 0.5 * (zi - zir)
+    f2r = 0.5 * (zi + zir)
+    f2i = 0.5 * (zrr - zr)
+    return f1r, f1i, f2r, f2i
+
+
+def ifft2_two_real(c1r, c1i, c2r, c2i):
+    """Two real-valued inverse FFT2s via ONE complex inverse FFT2.
+
+    Valid when both exact results are real (phase-correlation
+    surfaces): IFFT2(C1 + i·C2) = corr1 + i·corr2. Returns
+    (corr1, corr2); each carries the other's f32 rounding (~1e-7
+    relative), irrelevant for peak finding.
+    """
+    re, im = ifft2(c1r - c2i, c1i + c2r)
+    return re, im
+
+
 def cross_power(ar, ai, br, bi, epsilon: float = 1e-15):
     """Normalized cross-power a·conj(b)/|a·conj(b)|, ε-guarded
     (reference: src-tauri/src/math/complex.rs:27-44)."""

@@ -84,3 +84,34 @@ def test_shifted_log_magnitude_centers_dc(rng):
     fr, fi = F.fft2(jnp.asarray(x), jnp.zeros((16, 16), jnp.float32))
     out = np.asarray(F.shifted_log_magnitude(fr, fi))
     assert out.argmax() == 8 * 16 + 8  # DC moved to center
+
+
+def test_fft2_two_real_matches_separate(rng):
+    from astroburst_tpu.ops.fft import fft2, fft2_two_real
+    import jax.numpy as jnp
+    x1 = jnp.asarray(rng.random((16, 32)).astype("float32"))
+    x2 = jnp.asarray(rng.random((16, 32)).astype("float32"))
+    z = jnp.zeros_like(x1)
+    f1r, f1i = fft2(x1, z)
+    f2r, f2i = fft2(x2, z)
+    g1r, g1i, g2r, g2i = fft2_two_real(x1, x2)
+    np.testing.assert_allclose(np.asarray(g1r), np.asarray(f1r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g1i), np.asarray(f1i), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2r), np.asarray(f2r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2i), np.asarray(f2i), atol=1e-3)
+
+
+def test_ifft2_two_real_matches_separate(rng):
+    from astroburst_tpu.ops.fft import fft2, ifft2, ifft2_two_real
+    import jax.numpy as jnp
+    # spectra of real planes -> inverse results are real
+    x1 = jnp.asarray(rng.random((16, 16)).astype("float32"))
+    x2 = jnp.asarray(rng.random((16, 16)).astype("float32"))
+    z = jnp.zeros_like(x1)
+    c1r, c1i = fft2(x1, z)
+    c2r, c2i = fft2(x2, z)
+    r1, _ = ifft2(c1r, c1i)
+    r2, _ = ifft2(c2r, c2i)
+    g1, g2 = ifft2_two_real(c1r, c1i, c2r, c2i)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), atol=1e-4)

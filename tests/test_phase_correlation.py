@@ -1,6 +1,7 @@
 """Phase correlation tests mirroring the reference's
 (phase_correlation.rs:171-240) plus a coarse-to-fine case."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -85,3 +86,35 @@ def test_coarse_to_fine_large_image():
     r = phase_correlate(img, shifted)
     assert abs(r.dy - 17.0) < 1.0
     assert abs(r.dx - (-23.0)) < 1.0
+
+
+def test_correlate_two_matches_single():
+    from astroburst_tpu.alignment.phase_correlation import (correlate_single,
+                                                            correlate_two)
+    img = make_pattern(128, 96)
+    t1 = np.roll(img, (4, -3), axis=(0, 1))
+    t2 = np.roll(img, (-6, 2), axis=(0, 1))
+    a = jnp.asarray(img)
+    s1 = correlate_single(a, jnp.asarray(t1))
+    s2 = correlate_single(a, jnp.asarray(t2))
+    d1y, d1x, c1, d2y, d2x, c2 = correlate_two(a, jnp.asarray(t1),
+                                               jnp.asarray(t2))
+    assert float(d1y) == pytest.approx(float(s1[0]), abs=0.05)
+    assert float(d1x) == pytest.approx(float(s1[1]), abs=0.05)
+    assert float(d2y) == pytest.approx(float(s2[0]), abs=0.05)
+    assert float(d2x) == pytest.approx(float(s2[1]), abs=0.05)
+    assert float(c1) > 2.0 and float(c2) > 2.0
+
+
+def test_phase_correlate_stack_odd_batch():
+    from astroburst_tpu.alignment.phase_correlation import (
+        phase_correlate_stack)
+    img = make_pattern(128, 96)
+    shifts = [(3, -2), (-5, 4), (7, 1)]
+    tgts = jnp.asarray(np.stack([np.roll(img, s, axis=(0, 1))
+                                 for s in shifts]))
+    dys, dxs, confs = phase_correlate_stack(jnp.asarray(img), tgts)
+    for i, (sy, sx) in enumerate(shifts):
+        assert float(dys[i]) == pytest.approx(sy, abs=0.3)
+        assert float(dxs[i]) == pytest.approx(sx, abs=0.3)
+        assert float(confs[i]) > 2.0
