@@ -36,7 +36,7 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
                         align: bool = True, exact_pair: bool = False,
                         use_pallas: bool | None = None,
                         true_shape: tuple | None = None,
-                        off_max: int = 16):
+                        off_max: int = 16, interpret: bool = False):
     """Pure traced pipeline over [N, H, W]; returns a dict of arrays:
     combined f32 [H,W], preview u8 [H,W], offsets [N,2] f32,
     confidences [N] f32, rejected i32, stf (shadow, midtone) f32.
@@ -61,6 +61,10 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
         view = stack
     ref = view[0]
     if align and n > 1:
+        # plain per-frame vmap: rfft pair packing (phase_correlate_stack)
+        # measured SLOWER here (25.0 vs 15.3 ms at 15×16 Mpx on v5e) —
+        # the align stage is dispatch/memory-bound, so halving the FFT
+        # matmuls doesn't pay for the extra pair-slice passes
         def est(frame):
             return _phase_correlate_traced(ref, frame)
 
@@ -76,11 +80,12 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
     if use_pallas == "two_stage" or (use_pallas and n > MAX_FRAMES):
         from astroburst_tpu.stacking.fused_kernel import shift_clip_fused
         combined, rejected = shift_clip_fused(view, dys, dxs, sigma_low,
-                                              sigma_high, max_iter)
+                                              sigma_high, max_iter,
+                                              interpret=interpret)
     elif use_pallas:
         combined, rejected = shift_clip_onepass(
             stack, dys, dxs, sigma_low, sigma_high, max_iter,
-            off_max=off_max, true_shape=true_shape)
+            off_max=off_max, true_shape=true_shape, interpret=interpret)
     else:
         full = jax.vmap(shift_bicubic)(view, dys, dxs)
         combined, rejected = sigma_clip_core(full, sigma_low, sigma_high,
@@ -100,16 +105,91 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
     }
 
 
+def sharded_shift_clip(mesh: Mesh, stack: jax.Array, dys: jax.Array,
+                       dxs: jax.Array, row_axes, sigma_low: float,
+                       sigma_high: float, max_iter: int,
+                       off_max: int = 16, interpret: bool = False):
+    """Row-sharded one-pass Pallas shift+clip via shard_map.
+
+    Each shard holds a horizontal band of every frame; ``off_max + 2``
+    halo rows ride ICI via two ppermutes, the global top/bottom halos
+    are edge replicas (align.rs clamp semantics), and the fused kernel
+    runs per shard with the outside-source zero mask evaluated in
+    global coordinates. ``row_axes`` is a mesh axis name or tuple —
+    pass all axes (e.g. ('frames', 'rows')) to split rows across the
+    whole mesh for this stage.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from astroburst_tpu.stacking.onepass_kernel import (
+        shift_clip_onepass_slab)
+
+    if isinstance(row_axes, str):
+        row_axes = (row_axes,)
+    n_sh = 1
+    for ax in row_axes:
+        n_sh *= mesh.shape[ax]
+    n, h, w = stack.shape
+    h_pad = -(-h // n_sh) * n_sh
+    if h_pad != h:
+        stack = jnp.pad(stack, ((0, 0), (0, h_pad - h), (0, 0)),
+                        mode="edge")
+    local_h = h_pad // n_sh
+    halo = off_max + 2
+    if local_h < halo:
+        raise ValueError(
+            f"row shards of {local_h} rows are smaller than the "
+            f"{halo}-row halo (off_max={off_max}); use fewer shards, "
+            f"taller images, or a smaller off_max")
+    ax_names = row_axes if len(row_axes) > 1 else row_axes[0]
+
+    def local_fn(slab, dys, dxs):
+        idx = jax.lax.axis_index(ax_names)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        from_prev = jax.lax.ppermute(slab[:, -halo:], ax_names, fwd)
+        from_next = jax.lax.ppermute(slab[:, :halo], ax_names, bwd)
+        edge_top = jnp.broadcast_to(slab[:, :1], (n, halo, slab.shape[2]))
+        edge_bot = jnp.broadcast_to(slab[:, -1:], (n, halo, slab.shape[2]))
+        top = jnp.where(idx == 0, edge_top, from_prev)
+        bot = jnp.where(idx == n_sh - 1, edge_bot, from_next)
+        ext = jnp.concatenate([top, slab, bot], axis=1)
+        grow0 = (idx * local_h).astype(jnp.int32)
+        combined, rejected = shift_clip_onepass_slab(
+            ext, dys, dxs, halo, grow0, h, sigma_low, sigma_high,
+            max_iter, off_max=off_max, interpret=interpret)
+        return combined, jax.lax.psum(rejected, ax_names)
+
+    combined, rejected = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, row_axes, None), P(None), P(None)),
+        out_specs=(P(row_axes, None), P()),
+        check_rep=False)(stack, dys, dxs)
+    return combined[:h], rejected
+
+
 def make_sharded_stack_step(mesh: Mesh, sigma_low: float = 3.0,
                             sigma_high: float = 3.0, max_iter: int = 5,
-                            align: bool = True):
+                            align: bool = True,
+                            use_pallas: bool | None = None,
+                            interpret: bool | None = None,
+                            off_max: int = 16):
     """jit the pipeline over a (frames, rows) mesh.
 
     Alignment runs frame-sharded; the combine/stretch run row-sharded
     — the constraint between them is where GSPMD places the reshard
-    collective (all-to-all over ICI).
+    collective (all-to-all over ICI). By default the shift+clip stage
+    is the one-pass Pallas kernel per row-shard (sharded_shift_clip)
+    with rows split across ALL mesh axes so no device idles;
+    use_pallas=False keeps the unfused XLA path.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     row_axis = "rows" if "rows" in mesh.axis_names else "frames"
+    all_axes = tuple(ax for ax in ("frames", "rows")
+                     if ax in mesh.axis_names)
     frames_spec = NamedSharding(mesh, P("frames", None, None))
     stack_rows_spec = NamedSharding(mesh, P(None, row_axis, None))
     rows_spec = NamedSharding(mesh, P(row_axis, None))
@@ -119,25 +199,31 @@ def make_sharded_stack_step(mesh: Mesh, sigma_low: float = 3.0,
         n = stack.shape[0]
         ref = stack[0]
         if align and n > 1:
-            def one(frame):
+            def est(frame):
                 dy, dx, conf = _phase_correlate_traced(ref, frame)
-                return shift_bicubic(frame, dy, dx), dy, dx, conf
+                return dy, dx, conf
 
-            aligned, dys, dxs, confs = jax.vmap(one)(stack[1:])
-            full = jnp.concatenate([stack[:1], aligned], axis=0)
-            dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys])
-            dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs])
-            confs = jnp.concatenate([jnp.zeros(1, jnp.float32), confs])
+            dys1, dxs1, confs1 = jax.vmap(est)(stack[1:])
+            dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys1])
+            dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs1])
+            confs = jnp.concatenate([jnp.zeros(1, jnp.float32), confs1])
         else:
-            full = stack
             dys = jnp.zeros(n, jnp.float32)
             dxs = jnp.zeros(n, jnp.float32)
             confs = jnp.zeros(n, jnp.float32)
 
-        # reshard: frame-parallel → row-parallel for the pixel reduction
-        full = jax.lax.with_sharding_constraint(full, stack_rows_spec)
-        combined, rejected = sigma_clip_core(full, sigma_low, sigma_high,
-                                             max_iter)
+        if use_pallas:
+            # reshard frames→rows happens at shard_map entry (GSPMD
+            # all-to-all); rows split over the WHOLE mesh
+            combined, rejected = sharded_shift_clip(
+                mesh, stack, dys, dxs, all_axes, sigma_low, sigma_high,
+                max_iter, off_max=off_max, interpret=interpret)
+        else:
+            full = jax.vmap(shift_bicubic)(stack, dys, dxs)
+            # reshard: frame-parallel → row-parallel for the reduction
+            full = jax.lax.with_sharding_constraint(full, stack_rows_spec)
+            combined, rejected = sigma_clip_core(full, sigma_low,
+                                                 sigma_high, max_iter)
         combined = jax.lax.with_sharding_constraint(combined, rows_spec)
         mn, mx, _t, count, med, mad = stats_core(combined, False)
         sigma = jnp.maximum(mad * 1.4826, 1e-30)

@@ -70,12 +70,21 @@ def window_dims(block_h: int, block_w: int, off_max: int):
 
 def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                  sigma_low: float, sigma_high: float, max_iter: int,
-                 block_h: int, block_w: int, grid_w: int, off_max: int):
+                 block_h: int, block_w: int, grid_w: int, off_max: int,
+                 out_off: int = 0, gh: int | None = None):
+    """out_off/gh support the row-sharded slab mode (parallel/pipeline):
+    the stack is a slab of ``h`` rows whose output region starts at slab
+    row ``out_off``; the outside-source zero mask uses GLOBAL image
+    coords (global height ``gh``, output row offset ``base_ref[2]``).
+    Slab halos must be pre-filled (neighbor rows or edge replicas), so
+    the kernel's own boundary replication never fires off the slab."""
     f_r, f_c = window_dims(block_h, block_w, off_max)
+    if gh is None:
+        gh = h
 
     def window_base(step, base_ref):
         """Aligned, clamped shared-window origin for grid step."""
-        row0 = (step // grid_w) * block_h
+        row0 = (step // grid_w) * block_h + out_off
         col0 = (step % grid_w) * block_w
         sr_min = row0 - 1 + base_ref[0]
         sc_min = col0 - 1 + base_ref[1]
@@ -96,7 +105,7 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
         step = bi * grid_w + bj
         n_steps = pl.num_programs(0) * grid_w
         slot = step % 2
-        row0 = bi * block_h
+        row0 = bi * block_h + out_off   # slab coords (source/window)
         col0 = bj * block_w
 
         @pl.when(step == 0)
@@ -120,7 +129,8 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                                       0).astype(jnp.float32)
         xx = jax.lax.broadcasted_iota(jnp.int32, (block_h, block_w),
                                       1).astype(jnp.float32)
-        rowf = row0.astype(jnp.float32)
+        # global output coords for the outside-source zero mask
+        rowf = (row0 - out_off + base_ref[2]).astype(jnp.float32)
         colf = col0.astype(jnp.float32)
 
         vals = []
@@ -169,7 +179,7 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
             dx = shift_ref[k, 1].astype(jnp.float32) + frac_ref[k, 1]
             sy = yy + rowf + dy
             sx = xx + colf + dx
-            inside = ((sy >= -0.5) & (sy <= h - 0.5) & (sx >= -0.5) &
+            inside = ((sy >= -0.5) & (sy <= gh - 0.5) & (sx >= -0.5) &
                       (sx <= w - 0.5))
             vals.append(jnp.where(inside, out, 0.0))
 
@@ -183,30 +193,40 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
 
 @partial(jax.jit,
          static_argnames=("h", "w", "sigma_low", "sigma_high", "max_iter",
-                          "off_max", "interpret", "block_h", "block_w"))
+                          "off_max", "interpret", "block_h", "block_w",
+                          "out_off", "out_h", "gh"))
 def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
                                dxs: jax.Array, h: int, w: int,
                                sigma_low: float, sigma_high: float,
                                max_iter: int, off_max: int,
                                interpret: bool, block_h: int,
-                               block_w: int):
+                               block_w: int, out_off: int = 0,
+                               out_h: int | None = None,
+                               gh: int | None = None,
+                               grow0: jax.Array | None = None):
     n, hp, wp = stack.shape
     f_r, f_c = window_dims(block_h, block_w, off_max)
     if hp % 8 or wp % 128 or hp < f_r or wp < f_c:
         raise ValueError(
             f"padded stack must be (8,128)-aligned and >= window "
             f"({f_r},{f_c}); got ({hp},{wp})")
+    if out_h is None:
+        out_h = h
     dys = jnp.clip(jnp.asarray(dys, jnp.float32), -off_max, off_max)
     dxs = jnp.clip(jnp.asarray(dxs, jnp.float32), -off_max, off_max)
     ky = jnp.floor(dys)
     kx = jnp.floor(dxs)
     shifts = jnp.stack([ky, kx], axis=1).astype(jnp.int32)
     fracs = jnp.stack([dys - ky, dxs - kx], axis=1).astype(jnp.float32)
-    base = jnp.stack([jnp.min(shifts[:, 0]), jnp.min(shifts[:, 1])])
+    if grow0 is None:
+        grow0 = jnp.int32(0)
+    base = jnp.stack([jnp.min(shifts[:, 0]), jnp.min(shifts[:, 1]),
+                      jnp.asarray(grow0, jnp.int32)])
 
-    grid = (pl.cdiv(h, block_h), pl.cdiv(w, block_w))
+    grid = (pl.cdiv(out_h, block_h), pl.cdiv(w, block_w))
     kernel = _make_kernel(n, h, w, hp, wp, sigma_low, sigma_high,
-                          max_iter, block_h, block_w, grid[1], off_max)
+                          max_iter, block_h, block_w, grid[1], off_max,
+                          out_off=out_off, gh=gh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -224,8 +244,8 @@ def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((out_h, w), jnp.float32),
+            jax.ShapeDtypeStruct((out_h, w), jnp.int32),
         ],
         interpret=interpret,
     )(shifts, fracs, base, stack)
@@ -278,3 +298,39 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
     return _shift_clip_onepass_padded(stack, dys, dxs, h, w, sigma_low,
                                       sigma_high, max_iter, off_max,
                                       interpret, block_h, block_w)
+
+
+def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,
+                            dxs: jax.Array, halo: int, grow0: jax.Array,
+                            gh: int, sigma_low: float = 3.0,
+                            sigma_high: float = 3.0, max_iter: int = 5,
+                            off_max: int = OFF_MAX,
+                            interpret: bool = False,
+                            block_h: int = BLOCK_H,
+                            block_w: int = BLOCK_W):
+    """Row-sharded slab variant for use inside ``shard_map``.
+
+    ``slab`` is [N, local_h + 2·halo, W]: the shard's output rows plus
+    ``halo`` pre-filled rows above and below (neighbor rows via
+    ppermute; edge replicas of the global first/last row at the global
+    boundaries). ``halo`` must be >= off_max + 2 so neither the bicubic
+    taps nor the kernel's boundary replication reach off the slab.
+    ``grow0`` is the shard's first output row in GLOBAL coords (traced
+    i32), ``gh`` the global image height — the outside-source zero mask
+    (align.rs:48-51) is evaluated globally. Returns
+    (combined [local_h, W], rejected scalar i32).
+    """
+    if halo < off_max + 2:
+        raise ValueError(f"halo must be >= off_max + 2 = {off_max + 2}")
+    n, slab_h, w = slab.shape
+    out_h = slab_h - 2 * halo
+    padded = pad_stack_aligned(slab, block_h, block_w, off_max)
+    hp, wp = padded.shape[1], padded.shape[2]
+    while block_h > 8 and window_dims(block_h, block_w, off_max)[0] > hp:
+        block_h //= 2
+    while block_w > 128 and window_dims(block_h, block_w, off_max)[1] > wp:
+        block_w //= 2
+    return _shift_clip_onepass_padded(
+        padded, dys, dxs, slab_h, w, sigma_low, sigma_high, max_iter,
+        off_max, interpret, block_h, block_w, out_off=halo, out_h=out_h,
+        gh=gh, grow0=grow0)

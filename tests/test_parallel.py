@@ -42,6 +42,58 @@ def test_sharded_stack_step_matches_single_device(rng):
 
 
 @pytest.mark.slow
+def test_sharded_onepass_matches_single_device(rng):
+    """The REAL hot path: one-pass Pallas shift+clip per row-shard
+    (shard_map + ppermute halos), vs the single-chip onepass kernel
+    and the unfused XLA path (interpret mode, exact on CPU)."""
+    from astroburst_tpu.stacking.onepass_kernel import shift_clip_onepass
+    from astroburst_tpu.parallel.pipeline import sharded_shift_clip
+
+    frames = rng.normal(100, 3, (6, 96, 64)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:64]
+    frames += 400.0 * np.exp(-((yy - 48) ** 2 + (xx - 32) ** 2) / 8.0)
+    stack = jnp.asarray(frames)
+    dys = jnp.asarray([0.0, 3.5, -2.25, 7.0, -6.5, 1.0], jnp.float32)
+    dxs = jnp.asarray([0.0, -1.5, 2.75, -4.0, 5.5, 0.25], jnp.float32)
+
+    single_c, single_r = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 3,
+                                            off_max=8, interpret=True)
+
+    for shape, axes in [((4, 2), ("frames", "rows")), ((8,), ("rows",))]:
+        mesh = make_mesh(8, axes, shape)
+        fn = jax.jit(lambda s, m=mesh, a=axes: sharded_shift_clip(
+            m, s, dys, dxs, a, 3.0, 3.0, 3, off_max=8, interpret=True))
+        got_c, got_r = fn(stack)
+        np.testing.assert_allclose(np.asarray(got_c),
+                                   np.asarray(single_c), atol=2e-4,
+                                   err_msg=f"mesh={shape}")
+        assert int(got_r) == int(single_r)
+
+
+@pytest.mark.slow
+def test_sharded_stack_step_pallas_path(rng):
+    """Full sharded step with the Pallas combine stage enabled."""
+    frames = rng.normal(100, 3, (8, 128, 64)).astype(np.float32)
+    yy, xx = np.mgrid[0:128, 0:64]
+    frames += 500.0 * np.exp(-((yy - 64) ** 2 + (xx - 32) ** 2) / 8.0)
+    stack = jnp.asarray(frames)
+
+    single = jax.jit(lambda s: align_stack_stretch(
+        s, max_iter=2, use_pallas=False))(stack)
+
+    mesh = make_mesh(8, ("frames", "rows"), (4, 2))
+    sharded_in = jax.device_put(
+        stack, NamedSharding(mesh, P("frames", None, None)))
+    step = make_sharded_stack_step(mesh, max_iter=2, use_pallas=True,
+                                   interpret=True, off_max=8)
+    out = step(sharded_in)
+    np.testing.assert_allclose(np.asarray(out["combined"]),
+                               np.asarray(single["combined"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["offsets"]),
+                               np.asarray(single["offsets"]), atol=0.05)
+
+
+@pytest.mark.slow
 def test_sharded_atrous_matches_local(rng):
     x = rng.random((256, 96)).astype(np.float32)
     mesh = make_mesh(8, ("rows",), (8,))
