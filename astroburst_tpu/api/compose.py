@@ -238,7 +238,8 @@ def align_channels_cmd(paths: Sequence[str], output_dir: str = "",
     method = helpers.parse_align_method(align_method)
     write_disk = bool(persist_to_disk)
 
-    ref_entry = load_from_cache_or_disk(paths[0])
+    entries = load_many_from_cache_or_disk(paths)
+    ref_entry = entries[0]
     rows, cols = ref_entry.image.shape
     results = []
     cache_keys = []
@@ -256,7 +257,7 @@ def align_channels_cmd(paths: Sequence[str], output_dir: str = "",
                             "cache_key": key})
             cache_keys.append(key)
             continue
-        entry = load_from_cache_or_disk(p)
+        entry = entries[i]
         res = align_pair_with_label(ref_entry.image, entry.image, method,
                                     rows, cols, bin_id)
         stats = compute_image_stats(res.aligned)

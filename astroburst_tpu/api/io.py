@@ -19,7 +19,7 @@ from astroburst_tpu.api.common import (MAX_PREVIEW_DIM, MAX_RAW_PREVIEW_DIM,
                                        load_cached, load_cached_full,
                                        png_path_for, try_extract_rgb_resolved)
 from astroburst_tpu.dtypes import AutoStfConfig
-from astroburst_tpu.imaging.stf import apply_stf_f32, apply_stf_u8, auto_stf
+from astroburst_tpu.imaging.stf import auto_stf
 from astroburst_tpu.ops.ipc import encode_with_header_downsampled
 from astroburst_tpu.ops.stats import (compute_histogram_with_stats,
                                       compute_image_stats)
@@ -94,8 +94,8 @@ def process_fits(path: str, output_dir: str = "") -> dict:
     entry = load_cached(path)
     stf_params = auto_stf(entry.stats)
     png_path = png_path_for(path, out_dir)
-    u8 = apply_stf_u8(entry.image, stf_params, entry.stats)
-    helpers.save_preview_png(u8, png_path, MAX_PREVIEW_DIM)
+    helpers.save_stf_preview_png(entry.image, stf_params, entry.stats,
+                                 png_path, MAX_PREVIEW_DIM)
     h, w = entry.image.shape
     return {
         C.RES_PNG_PATH: png_path,
@@ -117,8 +117,8 @@ def process_fits_full(path: str, output_dir: str = "") -> dict:
     stats = entry.stats
     stf_params = auto_stf(stats)
     png_path = png_path_for(path, out_dir)
-    u8 = apply_stf_u8(entry.image, stf_params, stats)
-    helpers.save_preview_png(u8, png_path, MAX_PREVIEW_DIM)
+    helpers.save_stf_preview_png(entry.image, stf_params, stats,
+                                 png_path, MAX_PREVIEW_DIM)
     h, w = entry.image.shape
     return {
         C.RES_PNG_PATH: png_path,

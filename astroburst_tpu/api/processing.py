@@ -26,8 +26,7 @@ from astroburst_tpu.imaging.masked_stretch import (MaskedStretchConfig,
                                                    masked_stretch_rgb_shared)
 from astroburst_tpu.imaging.resample import resample_with_wcs
 from astroburst_tpu.imaging.scnr import apply_scnr
-from astroburst_tpu.imaging.stf import (apply_stf_f32, apply_stf_u8,
-                                        auto_stf)
+from astroburst_tpu.imaging.stf import apply_stf_f32, auto_stf
 from astroburst_tpu.imaging.stretch import (arcsinh_stretch_rgb,
                                             arcsinh_stretch_with_stats)
 from astroburst_tpu.imaging.wavelet import WaveletConfig, wavelet_denoise
@@ -39,8 +38,8 @@ from astroburst_tpu.runtime.progress import ProgressHandle
 
 def _auto_preview(image, path: str) -> None:
     stats = compute_image_stats(image)
-    helpers.save_preview_png(apply_stf_u8(image, auto_stf(stats), stats),
-                             path, MAX_PREVIEW_DIM)
+    helpers.save_stf_preview_png(image, auto_stf(stats), stats, path,
+                                 MAX_PREVIEW_DIM)
 
 
 def resample_fits_cmd(path: str, output_dir: str, target_width: int,

@@ -37,8 +37,8 @@ from astroburst_tpu.stacking.drizzle import drizzle_stack
 
 def _save_preview(image, path: str, stats=None) -> None:
     stats = stats or compute_image_stats(image)
-    u8 = apply_stf_u8(image, auto_stf(stats), stats)
-    helpers.save_preview_png(u8, path, MAX_PREVIEW_DIM)
+    helpers.save_stf_preview_png(image, auto_stf(stats), stats, path,
+                                 MAX_PREVIEW_DIM)
 
 
 def _masters_from_paths(bias_paths, dark_paths, flat_paths

@@ -10,7 +10,7 @@ import numpy as np
 from astroburst_tpu import constants as C
 from astroburst_tpu.api import helpers
 from astroburst_tpu.api.common import MAX_PREVIEW_DIM, Timer
-from astroburst_tpu.imaging.stf import apply_stf_u8, auto_stf
+from astroburst_tpu.imaging.stf import auto_stf
 from astroburst_tpu.io import write_fits_mono
 from astroburst_tpu.ops.stats import compute_image_stats
 from astroburst_tpu.runtime.output import resolve_output_dir
@@ -53,8 +53,8 @@ def generate_synth_cmd(output_dir: str = "", width: Optional[int] = None,
     save_catalog(stars, catalog_path)
     stats = compute_image_stats(noisy)
     png_path = os.path.join(out_dir, "synth.png")
-    helpers.save_preview_png(apply_stf_u8(noisy, auto_stf(stats), stats),
-                             png_path, MAX_PREVIEW_DIM)
+    helpers.save_stf_preview_png(noisy, auto_stf(stats), stats,
+                                 png_path, MAX_PREVIEW_DIM)
     return {
         C.RES_FITS_PATH: fits_path,
         C.RES_PNG_PATH: png_path,

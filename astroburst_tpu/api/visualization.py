@@ -5,14 +5,12 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import numpy as np
 
 from astroburst_tpu import constants as C
 from astroburst_tpu.api import helpers
 from astroburst_tpu.api.common import Timer, load_from_cache_or_disk, \
     png_path_for
 from astroburst_tpu.dtypes import StfParams
-from astroburst_tpu.imaging.stf import apply_stf_u8
 from astroburst_tpu.render.tiles import (TileParams, generate_tile_pyramid,
                                          generate_tile_pyramid_rgb)
 from astroburst_tpu.runtime.output import resolve_output_dir
@@ -25,9 +23,8 @@ def apply_stf_render(path: str, output_dir: str, shadow: float,
     out_dir = resolve_output_dir(output_dir)
     entry = load_from_cache_or_disk(path)
     params = StfParams(shadow=shadow, midtone=midtone, highlight=highlight)
-    u8 = apply_stf_u8(entry.image, params, entry.stats)
     png_path = png_path_for(path, out_dir, suffix="stf")
-    helpers.save_preview_png(u8, png_path)
+    helpers.save_stf_preview_png(entry.image, params, entry.stats, png_path)
     h, w = entry.image.shape
     return {
         C.RES_PNG_PATH: png_path,

@@ -184,7 +184,9 @@ def _extract_plane(buf, hdu: ScannedHdu, plane: int = 0) -> np.ndarray:
     if end > len(buf):
         raise FitsError("Image data exceeds file size")
     bzero, bscale = _scaling(h)
-    pixels = decode_pixels(buf[start:end], bitpix, bscale, bzero)
+    # memoryview slice: zero-copy on mmap (mmap[a:b] would copy 64 MB
+    # per plane; the native decoder reads straight from the page cache)
+    pixels = decode_pixels(memoryview(buf)[start:end], bitpix, bscale, bzero)
     return pixels.reshape(naxis2, naxis1)
 
 
@@ -335,7 +337,8 @@ def extract_cube(path: str) -> FitsCube:
                     raise FitsError("Cube data exceeds file size")
                 bzero, bscale = _scaling(h)
                 pixels = decode_pixels(
-                    buf[parsed.data_start:parsed.data_start + total],
+                    memoryview(buf)[parsed.data_start:
+                                    parsed.data_start + total],
                     bitpix, bscale, bzero)
                 return FitsCube(h, pixels.reshape(naxis3, naxis2, naxis1))
             offset = parsed.next_hdu_offset
