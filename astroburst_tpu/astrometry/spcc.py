@@ -109,11 +109,93 @@ def estimate_bp_rp_from_flux(star: DetectedStar) -> float:
     return min(max(1.0 / math.sqrt(norm_flux) + fwhm_factor, -0.3), 4.0)
 
 
-def query_gaia_vizier(ra: float, dec: float, radius_deg: float):
-    """Gaia DR3 TAP cone search; this environment has no egress, so the
-    caller falls back to the synthetic catalog (spcc.rs:125-130)."""
-    raise InvalidInput("Gaia DR3 TAP unavailable (no network); using "
-                       "built-in Bp-Rp estimation")
+GAIA_TAP_URL = "https://gea.esac.esa.int/tap-server/tap/sync"
+GAIA_MAX_ROWS = 500
+GAIA_MAG_LIMIT = 17.0
+
+
+def build_gaia_adql(ra: float, dec: float, radius_deg: float,
+                    max_rows: int = GAIA_MAX_ROWS,
+                    mag_limit: float = GAIA_MAG_LIMIT) -> str:
+    """ADQL cone search on gaiadr3.gaia_source (the query the
+    reference's `vizier` feature build issues; spcc.rs:273 stubs it in
+    the default build)."""
+    return (
+        f"SELECT TOP {int(max_rows)} ra, dec, bp_rp, phot_g_mean_mag "
+        "FROM gaiadr3.gaia_source "
+        "WHERE CONTAINS(POINT('ICRS', ra, dec), "
+        f"CIRCLE('ICRS', {ra:.8f}, {dec:.8f}, {radius_deg:.6f})) = 1 "
+        f"AND phot_g_mean_mag < {mag_limit:.2f} "
+        "AND bp_rp IS NOT NULL "
+        "ORDER BY phot_g_mean_mag ASC")
+
+
+def parse_gaia_tap_csv(text: str):
+    """CSV TAP response → catalog rows ({ra, dec, bp_rp} dicts).
+
+    Tolerates column reordering via the header line; rows with empty
+    or non-numeric ra/dec/bp_rp are skipped.
+    """
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        return []
+    header = [c.strip().lower() for c in lines[0].split(",")]
+    try:
+        i_ra = header.index("ra")
+        i_dec = header.index("dec")
+        i_bprp = header.index("bp_rp")
+    except ValueError:
+        raise InvalidInput(
+            f"Gaia TAP response missing ra/dec/bp_rp columns: {header}")
+    out = []
+    for ln in lines[1:]:
+        cols = ln.split(",")
+        if len(cols) <= max(i_ra, i_dec, i_bprp):
+            continue
+        try:
+            out.append({"ra": float(cols[i_ra]),
+                        "dec": float(cols[i_dec]),
+                        "bp_rp": float(cols[i_bprp])})
+        except ValueError:
+            continue
+    return out
+
+
+def query_gaia_vizier(ra: float, dec: float, radius_deg: float,
+                      timeout_s: float = 30.0):
+    """Gaia DR3 TAP synchronous cone search.
+
+    Equivalent of the reference's `vizier`-feature client (the default
+    build raises instead, spcc.rs:273-274). Offline — as in this
+    environment — the request fails and the caller falls back to the
+    synthetic Bp-Rp catalog (spcc.rs:125-130).
+    """
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    data = urllib.parse.urlencode({
+        "REQUEST": "doQuery",
+        "LANG": "ADQL",
+        "FORMAT": "csv",
+        "QUERY": build_gaia_adql(ra, dec, radius_deg),
+    }).encode("ascii")
+    req = urllib.request.Request(
+        GAIA_TAP_URL, data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded",
+                 "User-Agent": "astroburst-tpu/0.1"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            text = resp.read().decode("utf-8", "replace")
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        raise InvalidInput(
+            f"Gaia DR3 TAP unavailable ({e}); using built-in Bp-Rp "
+            "estimation")
+    catalog = parse_gaia_tap_csv(text)
+    if not catalog:
+        raise InvalidInput("Gaia DR3 TAP returned no usable rows; using "
+                           "built-in Bp-Rp estimation")
+    return catalog
 
 
 def aperture_flux(image: np.ndarray, x: float, y: float,
@@ -204,9 +286,8 @@ def spcc_calibrate_rgb(r_image, g_image, b_image, header: HduHeader,
     catalog = None
     if config.catalog == "gaia_dr3":
         try:
-            catalog = query_gaia_vizier(*wcs.pixel_to_world(w / 2, h / 2
-                                                            ).__dict__.values(),
-                                        1.0)
+            center = wcs.pixel_to_world(w / 2, h / 2)
+            catalog = query_gaia_vizier(center.ra, center.dec, 1.0)
             is_synthetic = False
         except InvalidInput:
             catalog = None

@@ -187,7 +187,66 @@ class AsdfFile:
     blocks: List[bytes]
 
 
-def _decompress(comp: bytes, data: bytes) -> bytes:
+def lz4_block_decompress(src: bytes, expected_size: int) -> bytes:
+    """Raw LZ4 block decode (no frame header), vendored so lz4 ASDF
+    blocks need no third-party package.
+
+    Matches the reference's lz4_flex::decompress(raw, data_size)
+    (infra/asdf/blocks.rs:135-139): sequences of
+    [token][ext lit len][literals][2-byte LE offset][ext match len],
+    match copies may overlap (RLE-style).
+    """
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise AsdfError("lz4: literal run past end of block")
+        out += src[i:i + lit]
+        i += lit
+        if i >= n:
+            break  # final sequence carries no match
+        if i + 2 > n:
+            raise AsdfError("lz4: truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise AsdfError(f"lz4: invalid match offset {offset}")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if offset >= mlen:
+            out += out[start:start + mlen]
+        else:  # overlapping match: repeat the trailing pattern
+            seg = out[start:]
+            reps = -(-mlen // offset)
+            out += (seg * reps)[:mlen]
+    if expected_size and len(out) != expected_size:
+        raise AsdfError(
+            f"lz4: decompressed {len(out)} bytes, expected "
+            f"{expected_size}")
+    return bytes(out)
+
+
+def _decompress(comp: bytes, data: bytes,
+                expected_size: int = 0) -> bytes:
     tag = comp.rstrip(b"\0")
     if tag in (b"", b"none"):
         return data
@@ -196,12 +255,7 @@ def _decompress(comp: bytes, data: bytes) -> bytes:
     if tag == b"bzp2":
         return bz2.decompress(data)
     if tag == b"lz4":
-        try:
-            import lz4.block  # pragma: no cover
-            return lz4.block.decompress(data)
-        except ImportError:
-            raise AsdfError("lz4-compressed ASDF block but lz4 is not "
-                            "available in this environment")
+        return lz4_block_decompress(data, expected_size)
     raise AsdfError(f"Unknown ASDF block compression: {tag!r}")
 
 
@@ -247,9 +301,10 @@ def open_asdf(path: str) -> AsdfFile:
         compression = h[4:8]
         allocated = struct.unpack(">Q", h[8:16])[0]
         used = struct.unpack(">Q", h[16:24])[0]
+        data_size = struct.unpack(">Q", h[24:32])[0]
         data_start = pos + 6 + header_size
         data = raw[data_start:data_start + used]
-        blocks.append(_decompress(compression, data))
+        blocks.append(_decompress(compression, data, data_size))
         pos = data_start + max(allocated, used)
         if raw[pos:pos + 4] != BLOCK_MAGIC:
             nxt = raw.find(BLOCK_MAGIC, pos)

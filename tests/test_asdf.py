@@ -138,3 +138,90 @@ def test_invalid_magic(tmp_path):
         f.write(b"NOTASDF")
     with pytest.raises(AsdfError):
         open_asdf(p)
+
+
+# ---- vendored LZ4 block decoder (blocks.rs:135-139 lz4_flex parity) ----
+
+def lz4_literals(data: bytes) -> bytes:
+    """Minimal valid LZ4 block: one all-literal sequence."""
+    out = bytearray()
+    lit = len(data)
+    tok = min(lit, 15)
+    out.append(tok << 4)
+    if tok == 15:
+        rem = lit - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def test_lz4_literal_roundtrip():
+    from astroburst_tpu.io.asdf import lz4_block_decompress
+    data = bytes(range(256)) * 3
+    assert lz4_block_decompress(lz4_literals(data), len(data)) == data
+
+
+def test_lz4_match_copy():
+    from astroburst_tpu.io.asdf import lz4_block_decompress
+    # "abcd" literal then match offset=4 len=8 -> "abcdabcdabcd"
+    src = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00])
+    assert lz4_block_decompress(src, 12) == b"abcdabcdabcd"
+
+
+def test_lz4_overlapping_match_rle():
+    from astroburst_tpu.io.asdf import lz4_block_decompress
+    # "a" literal then match offset=1 len=7 -> "aaaaaaaa"
+    src = bytes([0x13]) + b"a" + bytes([0x01, 0x00])
+    assert lz4_block_decompress(src, 8) == b"a" * 8
+
+
+def test_lz4_extended_lengths():
+    from astroburst_tpu.io.asdf import lz4_block_decompress
+    data = b"x" * 300
+    out = lz4_block_decompress(lz4_literals(data), 300)
+    assert out == data
+    # extended match length: 2 literals, match offset=2 len=19+4+255+3
+    src = (bytes([0x2F]) + b"ab" + bytes([0x02, 0x00]) +
+           bytes([255, 3]))
+    want = b"ab" + (b"ab" * 200)[:15 + 4 + 255 + 3]
+    assert lz4_block_decompress(src, len(want)) == want
+
+
+def test_lz4_invalid_offset_raises():
+    from astroburst_tpu.io.asdf import lz4_block_decompress
+    from astroburst_tpu.errors import AsdfError
+    src = bytes([0x14]) + b"a" + bytes([0x09, 0x00])  # offset 9 > produced
+    with pytest.raises(AsdfError):
+        lz4_block_decompress(src, 6)
+
+
+def test_lz4_size_mismatch_raises():
+    from astroburst_tpu.io.asdf import lz4_block_decompress
+    from astroburst_tpu.errors import AsdfError
+    with pytest.raises(AsdfError):
+        lz4_block_decompress(lz4_literals(b"abc"), 99)
+
+
+def test_lz4_compressed_block_end_to_end(tmp_path):
+    """lz4 ASDF block decodes through open_asdf (blocks.rs asdf-full
+    feature parity, no third-party lz4 needed)."""
+    from astroburst_tpu.io.asdf import open_asdf
+    data = np.arange(64, dtype="<f4")
+    payload = lz4_literals(data.tobytes())
+    header = (struct.pack(">I", 0) + b"lz4\0" +
+              struct.pack(">Q", len(payload)) +
+              struct.pack(">Q", len(payload)) +
+              struct.pack(">Q", data.nbytes) +
+              b"\0" * 16)
+    block = BLOCK_MAGIC + struct.pack(">H", len(header)) + header + payload
+    tree = ("data: !core/ndarray-1.0.0 {source: 0, datatype: float32, "
+            "byteorder: little, shape: [64]}")
+    p = tmp_path / "lz4.asdf"
+    with open(p, "wb") as f:
+        f.write(make_asdf(tree, [block]))
+    af = open_asdf(str(p))
+    got = np.frombuffer(af.blocks[0], dtype="<f4")
+    np.testing.assert_array_equal(got, data)
