@@ -16,7 +16,7 @@ Batched use (vmap over a frame axis) is supported by `correlate_single`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -188,24 +188,30 @@ def _coarse_box_downsample(img, max_dim: int):
     box mean over the largest divisible region is equivalent for that
     purpose (exact fractional coverage would add ~10× the FLOPs for
     no seeding benefit). Returns (ds, box_y, box_x), ds ≤ max_dim.
+
+    Implementation: banded box-MATRIX matmuls. Measured A/B at 15×16
+    Mpx: matmul 8.2 ms vs 19.3 ms for `by+bx` shifted index-vector
+    takes — stride-12 row gathers relayout across sublane tiles (only
+    small-stride takes are fast), while the mostly-zero matmul rides
+    the MXU. The 15.8 GFLOP/frame cost_analysis reports is cheap
+    FLOPs, not time. Contract the minor (lane) axis first — it reads
+    the plane once in its native layout; a single einsum picks an
+    order that relayouts the full plane.
     """
     rows, cols = img.shape[-2], img.shape[-1]
     by = -(-rows // max_dim)
     bx = -(-cols // max_dim)
     ds_r = rows // by
     ds_c = cols // bx
-    # banded box matrices on the MXU read the plane exactly once —
-    # crop+reshape+reduce forms materialize full-plane copies instead.
-    # Default (bf16) precision: ~1e-3 relative is far inside what peak
-    # localization on the coarse surface needs (the fine pass redoes
-    # the estimate at full f32).
-    mr = jnp.asarray(_box_matrix(ds_r, by, rows))
-    mc = jnp.asarray(_box_matrix(ds_c, bx, cols))
-    # contract the minor (lane) axis first — it reads the plane once
-    # in its native layout; a single einsum picks an order that
-    # relayouts the full plane (~6 GB extra traffic at 15 frames)
-    tmp = jnp.matmul(img, mc.T)          # [..., rows, ds_c]
-    ds = jnp.einsum("rh,...hc->...rc", mr, tmp)
+    # bf16 inputs, f32 accumulate: the coarse surface only seeds the
+    # refine crop, and bf16 boxes shave ~2.3 ms/run off the 15-frame
+    # align (measured 10.5 → 8.2 ms for the coarse stage)
+    mr = jnp.asarray(_box_matrix(ds_r, by, rows), jnp.bfloat16)
+    mc = jnp.asarray(_box_matrix(ds_c, bx, cols), jnp.bfloat16)
+    x16 = img.astype(jnp.bfloat16)
+    tmp = jax.lax.dot_general(x16, mc.T, (((x16.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = jnp.einsum("rh,...hc->...rc", mr.astype(jnp.float32), tmp)
     return ds, by, bx
 
 

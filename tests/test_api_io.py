@@ -124,3 +124,38 @@ def test_export_zip_bundle(tmp_path):
         assert all(i.compress_type == zipfile.ZIP_STORED
                    for i in zf.infolist())
     assert "elapsed_ms" in out
+
+
+def test_nearest_downsample_take_form_matches_stride(rng):
+    """take-based NN downsample selects exactly the strided grid."""
+    import jax.numpy as jnp
+    from astroburst_tpu.ops.ipc import nearest_downsample
+    x = jnp.asarray(rng.random((300, 201)).astype("float32"))
+    small = np.asarray(nearest_downsample(x, 100))
+    stride = 3
+    np.testing.assert_array_equal(small, np.asarray(x)[::stride, ::stride])
+    assert small.shape[0] <= 100 and small.shape[1] <= 100
+    # no-op below the cap
+    assert nearest_downsample(x, 512) is x
+
+
+def test_save_stf_preview_png_downsample_first(tmp_path, rng):
+    """Downsample-first STF preview equals quantize-then-subsample
+    (pointwise STF commutes with NN subsampling)."""
+    import jax.numpy as jnp
+    from astroburst_tpu.api import helpers
+    from astroburst_tpu.ops.stats import compute_image_stats
+    from astroburst_tpu.imaging.stf import apply_stf_u8, auto_stf
+    from astroburst_tpu.ops.ipc import nearest_downsample
+
+    img = (rng.random((257, 130)) * 900.0).astype("float32")
+    stats = compute_image_stats(img)
+    stf = auto_stf(stats)
+    p = str(tmp_path / "prev.png")
+    helpers.save_stf_preview_png(jnp.asarray(img), stf, stats, p, max_dim=64)
+    assert (tmp_path / "prev.png").exists()
+    want = np.asarray(apply_stf_u8(
+        nearest_downsample(jnp.asarray(img), 64), stf, stats))
+    import cv2
+    got = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(got, want)
