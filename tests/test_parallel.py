@@ -128,3 +128,30 @@ def test_linked_stf_stats_reduce_over_shards(rng):
     ref = jax.jit(masked_scan_stats)(jnp.asarray(x))
     for g, r in zip(got, ref):
         assert float(g) == pytest.approx(float(r), rel=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_warp_matches_single_device(rng):
+    """Column-sharded pass 1 + row-sharded pass 2 equals the
+    single-chip shear warp (one all-to-all between passes)."""
+    import math
+    from astroburst_tpu.alignment.affine import AffineTransform
+    from astroburst_tpu.alignment.warp_shear import warp_shear
+    from astroburst_tpu.parallel.warp import make_sharded_warp
+
+    img = rng.normal(100, 5, (96, 128)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:128]
+    img += 300.0 * np.exp(-((yy - 48) ** 2 + (xx - 64) ** 2) / 9.0)
+    th = math.radians(3.0)
+    ct, st = math.cos(th), math.sin(th)
+    cx, cy = 64.0, 48.0
+    t = AffineTransform(a=ct, b=-st, tx=cx - ct * cx + st * cy,
+                        c=st, d=ct, ty=cy - st * cx - ct * cy)
+
+    single = np.asarray(warp_shear(jnp.asarray(img), t, 96, 128))
+    mesh = make_mesh(8, ("rows",), (8,))
+    fn = make_sharded_warp(mesh, t, 96, 128, "rows")
+    sharded_in = jax.device_put(jnp.asarray(img),
+                                NamedSharding(mesh, P(None, "rows")))
+    got = np.asarray(fn(sharded_in))
+    np.testing.assert_allclose(got, single, atol=1e-4)
