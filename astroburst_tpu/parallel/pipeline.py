@@ -119,7 +119,7 @@ def sharded_shift_clip(mesh: Mesh, stack: jax.Array, dys: jax.Array,
     pass all axes (e.g. ('frames', 'rows')) to split rows across the
     whole mesh for this stage.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from astroburst_tpu.stacking.onepass_kernel import (
         shift_clip_onepass_slab)
@@ -164,7 +164,7 @@ def sharded_shift_clip(mesh: Mesh, stack: jax.Array, dys: jax.Array,
         local_fn, mesh=mesh,
         in_specs=(P(None, row_axes, None), P(None), P(None)),
         out_specs=(P(row_axes, None), P()),
-        check_rep=False)(stack, dys, dxs)
+        check_vma=False)(stack, dys, dxs)
     return combined[:h], rejected
 
 
