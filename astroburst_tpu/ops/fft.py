@@ -62,44 +62,103 @@ def _split(n: int) -> Tuple[int, int]:
     return n1, n // n1
 
 
-def _dft_direct(xr, xi, inverse: bool):
-    n = xr.shape[-1]
+def _dft_along(xr, xi, inverse: bool, axis: int):
+    """Direct DFT matmul along ``axis`` ∈ {-1, -2, -3} — expressed as
+    dot_general contractions so NO transpose ops are emitted (a
+    swapaxes on [.., 64, 64] minor dims relayouts at ~45 GB/s; the
+    MXU absorbs arbitrary contraction dims for free)."""
+    n = xr.shape[axis]
     wr_np, wi_np = _dft_matrix(n, inverse)
     wr = jnp.asarray(wr_np)
     wi = jnp.asarray(wi_np)
-    yr = jnp.matmul(xr, wr, precision=_HIGHEST) - jnp.matmul(
-        xi, wi, precision=_HIGHEST)
-    yi = jnp.matmul(xr, wi, precision=_HIGHEST) + jnp.matmul(
-        xi, wr, precision=_HIGHEST)
+    if axis == -1:
+        def f(a, w):
+            return jnp.matmul(a, w, precision=_HIGHEST)
+    elif axis == -2:
+        def f(a, w):
+            return jnp.einsum("jk,...jc->...kc", w, a,
+                              precision=_HIGHEST)
+    elif axis == -3:
+        def f(a, w):
+            return jnp.einsum("jk,...jcd->...kcd", w, a,
+                              precision=_HIGHEST)
+    else:
+        raise ValueError(f"unsupported DFT axis {axis}")
+    yr = f(xr, wr) - f(xi, wi)
+    yi = f(xr, wi) + f(xi, wr)
     return yr, yi
 
 
-def _fft_core(xr, xi, inverse: bool):
-    """FFT along the last axis (unnormalized), any batch dims."""
-    n = xr.shape[-1]
+def _dft_swapped(xr, xi, inverse: bool, mid: bool):
+    """DFT over the minor digit with the output digit emitted BEFORE
+    the major digit — the four-step's digit-reversed order falls out
+    of the dot_general output layout (batch, lhs-free, rhs-free), so
+    the final reshape is a free row-major view.
+
+    mid=False: t[..., k1, j2]    -> z[..., k2, k1]
+    mid=True:  t[..., k1, j2, c] -> z[..., k2, k1, c]
+    """
+    n = xr.shape[-2 if mid else -1]
+    wr_np, wi_np = _dft_matrix(n, inverse)
+    wr = jnp.asarray(wr_np)
+    wi = jnp.asarray(wi_np)
+    eq = "jm,...ajc->...mac" if mid else "jm,...aj->...ma"
+
+    def f(a, w):
+        return jnp.einsum(eq, w, a, precision=_HIGHEST)
+
+    yr = f(xr, wr) - f(xi, wi)
+    yi = f(xr, wi) + f(xi, wr)
+    return yr, yi
+
+
+def _fft_core(xr, xi, inverse: bool, axis: int = -1):
+    """Four-step FFT along ``axis`` ∈ {-1, -2} (unnormalized), any
+    batch dims. Zero transposes for n ≤ _DIRECT_MAX² (65536): both
+    DFT stages are dot_generals with natural output ordering, and the
+    reshapes are contiguous views."""
+    n = xr.shape[axis]
     if n <= _DIRECT_MAX:
-        return _dft_direct(xr, xi, inverse)
+        return _dft_along(xr, xi, inverse, axis)
     n1, n2 = _split(n)
     if n1 * n2 != n:
         raise ValueError(f"FFT size {n} must be a power of two")
     shp = xr.shape
-    xr = xr.reshape(*shp[:-1], n1, n2)
-    xi = xi.reshape(*shp[:-1], n1, n2)
-    # DFT over the major digit j1 (axis -2)
-    yr, yi = _fft_core(xr.swapaxes(-1, -2), xi.swapaxes(-1, -2), inverse)
-    yr = yr.swapaxes(-1, -2)
-    yi = yi.swapaxes(-1, -2)
     twr_np, twi_np = _twiddle(n1, n2, inverse)
     twr = jnp.asarray(twr_np)
     twi = jnp.asarray(twi_np)
-    tr = yr * twr - yi * twi
-    ti = yr * twi + yi * twr
-    # DFT over the minor digit j2 (axis -1)
-    zr, zi = _fft_core(tr, ti, inverse)
-    # output index is digit-reversed: X[k2·n1 + k1]
-    zr = zr.swapaxes(-1, -2).reshape(*shp)
-    zi = zi.swapaxes(-1, -2).reshape(*shp)
-    return zr, zi
+    if axis == -1:
+        xr = xr.reshape(*shp[:-1], n1, n2)
+        xi = xi.reshape(*shp[:-1], n1, n2)
+        yr, yi = _fft_core(xr, xi, inverse, axis=-2)  # over j1
+        tr = yr * twr - yi * twi
+        ti = yr * twi + yi * twr
+        if n2 <= _DIRECT_MAX:
+            zr, zi = _dft_swapped(tr, ti, inverse, mid=False)
+        else:  # huge-n fallback (n > 65536): recurse + one swap
+            zr, zi = _fft_core(tr, ti, inverse, axis=-1)
+            zr = zr.swapaxes(-1, -2)
+            zi = zi.swapaxes(-1, -2)
+        return zr.reshape(shp), zi.reshape(shp)
+    if axis == -2:
+        c = shp[-1]
+        lead = shp[:-2]
+        xr = xr.reshape(*lead, n1, n2, c)
+        xi = xi.reshape(*lead, n1, n2, c)
+        if n1 <= _DIRECT_MAX:
+            yr, yi = _dft_along(xr, xi, inverse, -3)  # over j1
+        else:
+            raise ValueError(f"FFT size {n} too large for axis=-2")
+        tw_r = twr[:, :, None]
+        tw_i = twi[:, :, None]
+        tr = yr * tw_r - yi * tw_i
+        ti = yr * tw_i + yi * tw_r
+        if n2 <= _DIRECT_MAX:
+            zr, zi = _dft_swapped(tr, ti, inverse, mid=True)
+        else:
+            raise ValueError(f"FFT size {n} too large for axis=-2")
+        return zr.reshape(shp), zi.reshape(shp)
+    raise ValueError(f"unsupported FFT axis {axis}")
 
 
 def fft(xr, xi):
@@ -116,18 +175,18 @@ def ifft(xr, xi):
 
 def fft2(xr, xi):
     """Forward 2D FFT over the last two axes (unnormalized), matching
-    FftEngine2D::forward_2d (fft.rs:137-150)."""
-    yr, yi = _fft_core(xr, xi, inverse=False)
-    yr, yi = _fft_core(yr.swapaxes(-1, -2), yi.swapaxes(-1, -2), inverse=False)
-    return yr.swapaxes(-1, -2), yi.swapaxes(-1, -2)
+    FftEngine2D::forward_2d (fft.rs:137-150). Both axes run in place
+    (axis=-2 via dot_general) — no full-plane transposes."""
+    yr, yi = _fft_core(xr, xi, inverse=False, axis=-1)
+    return _fft_core(yr, yi, inverse=False, axis=-2)
 
 
 def ifft2(xr, xi):
     """Inverse 2D FFT scaled by 1/(rows·cols) (fft.rs:152-168)."""
-    yr, yi = _fft_core(xr, xi, inverse=True)
-    yr, yi = _fft_core(yr.swapaxes(-1, -2), yi.swapaxes(-1, -2), inverse=True)
+    yr, yi = _fft_core(xr, xi, inverse=True, axis=-1)
+    yr, yi = _fft_core(yr, yi, inverse=True, axis=-2)
     inv = 1.0 / (xr.shape[-1] * xr.shape[-2])
-    return yr.swapaxes(-1, -2) * inv, yi.swapaxes(-1, -2) * inv
+    return yr * inv, yi * inv
 
 
 def _reverse_freq2(x):

@@ -115,3 +115,30 @@ def test_ifft2_two_real_matches_separate(rng):
     g1, g2 = ifft2_two_real(c1r, c1i, c2r, c2i)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), atol=1e-4)
+
+
+def test_fft2_four_step_axes_match_numpy(rng):
+    """Sizes beyond _DIRECT_MAX exercise the transpose-free four-step
+    on BOTH axes (axis=-1 and the dot_general axis=-2 path)."""
+    from astroburst_tpu.ops.fft import fft2, ifft2
+    import jax.numpy as jnp
+    x = rng.random((512, 1024)).astype("float32")
+    fr, fi = fft2(jnp.asarray(x), jnp.zeros((512, 1024), "float32"))
+    want = np.fft.fft2(x.astype(np.float64))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(np.asarray(fr), want.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(fi), want.imag, atol=3e-4 * scale)
+    rr, ri = ifft2(fr, fi)
+    np.testing.assert_allclose(np.asarray(rr), x, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ri), 0.0, atol=2e-3)
+
+
+def test_fft_batched_four_step(rng):
+    from astroburst_tpu.ops.fft import fft
+    import jax.numpy as jnp
+    x = rng.random((3, 512)).astype("float32")
+    fr, fi = fft(jnp.asarray(x), jnp.zeros((3, 512), "float32"))
+    want = np.fft.fft(x.astype(np.float64), axis=-1)
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(np.asarray(fr), want.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(fi), want.imag, atol=3e-4 * scale)
