@@ -42,16 +42,22 @@ def generate_gaussian_psf(size: int, sigma: float) -> np.ndarray:
     return val.astype(np.float32)
 
 
-def _psf_spectrum(psf: np.ndarray, fft_rows: int, fft_cols: int):
-    """Wraparound center-origin placement + FFT (deconvolution.rs:62-80)."""
+@partial(jax.jit, static_argnames=("fft_rows", "fft_cols"))
+def _psf_spectrum(psf, fft_rows: int, fft_cols: int):
+    """Wraparound center-origin placement + FFT (deconvolution.rs:62-80).
+
+    Only the small PSF crosses to the device; the padded buffer is
+    built there (update-slice + free roll). The old host-side
+    np.zeros((fft_rows, fft_cols)) upload moved 64 MB of zeros per
+    call — ~2 s through the axon tunnel, and the entire reason RL
+    looked slow (device compute is ~25 ms/iteration at 2048²)."""
+    psf = jnp.asarray(psf, jnp.float32)
     pr, pc = psf.shape
     cy, cx = pr // 2, pc // 2
-    buf = np.zeros((fft_rows, fft_cols), np.float32)
-    ys = (np.arange(pr) - cy) % fft_rows
-    xs = (np.arange(pc) - cx) % fft_cols
-    buf[np.ix_(ys, xs)] = psf
-    fr, fi = F.fft2(jnp.asarray(buf), jnp.zeros_like(jnp.asarray(buf)))
-    return fr, fi
+    buf = jnp.zeros((fft_rows, fft_cols), jnp.float32)
+    buf = jax.lax.dynamic_update_slice(buf, psf, (0, 0))
+    buf = jnp.roll(buf, (-cy, -cx), axis=(0, 1))
+    return F.fft2(buf, jnp.zeros_like(buf))
 
 
 @dataclass
