@@ -80,16 +80,29 @@ def shift_bicubic_batch(stack: jax.Array, dys, dxs) -> jax.Array:
 
 
 @lru_cache(maxsize=None)
-def _box_matrix(n_in: int, n_out: int) -> np.ndarray:
-    """[n_out, n_in] 0/1 box-membership matrix (downsample.rs:19-27)."""
+def _box_edges(n_in: int, n_out: int):
+    """Per-output-box [y0, y1) bounds, host f64 exact
+    (downsample.rs:19-27 edge semantics)."""
     scale = n_in / n_out
-    m = np.zeros((n_out, n_in), np.float32)
+    y0 = np.empty(n_out, np.float32)
+    y1 = np.empty(n_out, np.float32)
     for o in range(n_out):
-        y0 = min(max(int(np.floor(o * scale)), 0), n_in - 1)
+        y0[o] = min(max(int(np.floor(o * scale)), 0), n_in - 1)
         y1_raw = int(np.ceil((o + 1) * scale))
-        y1 = 0 if y1_raw <= 0 else min(y1_raw, n_in)
-        m[o, y0:y1] = 1.0
-    return m
+        y1[o] = 0 if y1_raw <= 0 else min(y1_raw, n_in)
+    return y0, y1
+
+
+def _box_matrix_dev(n_in: int, n_out: int) -> jax.Array:
+    """[n_out, n_in] 0/1 box-membership matrix built ON DEVICE from
+    the tiny host edge vectors — a host-built dense matrix would embed
+    an n_out·n_in constant in the program (225 MB for a full-res JWST
+    plane → 4096 preview)."""
+    y0_np, y1_np = _box_edges(n_in, n_out)
+    y0 = jnp.asarray(y0_np)[:, None]
+    y1 = jnp.asarray(y1_np)[:, None]
+    j = jnp.arange(n_in, dtype=jnp.float32)[None, :]
+    return ((j >= y0) & (j < y1)).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("out_rows", "out_cols"))
@@ -98,8 +111,8 @@ def area_downsample(img: jax.Array, out_rows: int, out_cols: int) -> jax.Array:
     in_rows, in_cols = img.shape
     if (in_rows, in_cols) == (out_rows, out_cols):
         return img
-    my = jnp.asarray(_box_matrix(in_rows, out_rows))
-    mx = jnp.asarray(_box_matrix(in_cols, out_cols))
+    my = _box_matrix_dev(in_rows, out_rows)
+    mx = _box_matrix_dev(in_cols, out_cols)
     finite = jnp.isfinite(img)
     vals = jnp.where(finite, img, 0.0)
     s = jnp.matmul(jnp.matmul(my, vals, precision=_HIGHEST), mx.T,
