@@ -155,3 +155,47 @@ def test_sharded_warp_matches_single_device(rng):
                                 NamedSharding(mesh, P(None, "rows")))
     got = np.asarray(fn(sharded_in))
     np.testing.assert_allclose(got, single, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_warp_uneven_rows(rng):
+    """GSPMD handles non-divisible shard sizes for the sharded warp."""
+    import math
+    from astroburst_tpu.alignment.affine import AffineTransform
+    from astroburst_tpu.alignment.warp_shear import warp_shear
+    from astroburst_tpu.parallel.warp import make_sharded_warp
+
+    img = rng.normal(100, 5, (90, 100)).astype(np.float32)  # 90 % 8 != 0
+    th = math.radians(-2.0)
+    ct, st = math.cos(th), math.sin(th)
+    t = AffineTransform(a=ct, b=-st, tx=50 - ct * 50 + st * 45,
+                        c=st, d=ct, ty=45 - st * 50 - ct * 45)
+    single = np.asarray(warp_shear(jnp.asarray(img), t, 90, 100))
+    mesh = make_mesh(8, ("rows",), (8,))
+    got = np.asarray(make_sharded_warp(mesh, t, 90, 100)(jnp.asarray(img)))
+    np.testing.assert_allclose(got, single, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_onepass_slab_mode_directly(rng):
+    """shift_clip_onepass_slab with hand-built halos equals the
+    full-image kernel on the interior band (covers the out_off /
+    grow0 / gh coordinate math without shard_map)."""
+    from astroburst_tpu.stacking.onepass_kernel import (shift_clip_onepass,
+                                                        shift_clip_onepass_slab)
+    n, h, w = 4, 64, 64
+    halo = 10
+    frames = rng.normal(100, 3, (n, h, w)).astype(np.float32)
+    stack = jnp.asarray(frames)
+    dys = jnp.asarray([0.0, 2.5, -3.0, 1.25], jnp.float32)
+    dxs = jnp.asarray([0.0, -1.5, 4.0, -2.25], jnp.float32)
+    full, full_rej = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 3,
+                                        off_max=8, interpret=True)
+    # middle band rows [24, 40) with real neighbor halos
+    r0, r1 = 24, 40
+    slab = stack[:, r0 - halo:r1 + halo]
+    got, _ = shift_clip_onepass_slab(slab, dys, dxs, halo,
+                                     jnp.int32(r0), h, 3.0, 3.0, 3,
+                                     off_max=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(full)[r0:r1], atol=2e-4)

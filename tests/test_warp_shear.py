@@ -122,3 +122,27 @@ def test_degenerate_a_falls_back():
         warp_shear(jnp.asarray(img), AffineTransform(a=1e-5), 32, 32)
     out = warp_image(img, t, 32, 32)  # falls back, no raise
     assert np.asarray(out).shape == (32, 32)
+
+
+def test_bucket_powers_of_two():
+    from astroburst_tpu.alignment.warp_shear import _bucket
+    assert _bucket(1) == 8 and _bucket(8) == 8
+    assert _bucket(9) == 16 and _bucket(100) == 128
+
+
+def test_span_guard_raises():
+    img = star_img((32, 4200))
+    # q·W > 4096 → outside the shear envelope
+    t = AffineTransform(a=1.0, b=0.0, tx=0.0, c=0.999, d=1.0, ty=0.0)
+    with pytest.raises(ValueError, match="span"):
+        warp_shear(jnp.asarray(img), t, 32, 4200)
+
+
+def test_rotation_near_envelope_limit():
+    """MAX_ROTATION_DEG=30 is the sanity-gate ceiling; the shear form
+    must stay correct there."""
+    img = star_img((80, 80), seed=12)
+    t = rot_about_center(29.0, 40.0, 40.0)
+    got = np.asarray(warp_shear(jnp.asarray(img), t, 80, 80))
+    want = two_pass(img, t, 80, 80)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-5)
