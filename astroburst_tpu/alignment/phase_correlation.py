@@ -117,15 +117,14 @@ def correlate_single(a, b):
 
     fa = _windowed_padded(a, fft_rows, fft_cols)
     fb = _windowed_padded(b, fft_rows, fft_cols)
-    zeros = jnp.zeros_like(fa)
-    far, fai = F.fft2(fa, zeros)
-    fbr, fbi = F.fft2(fb, jnp.zeros_like(fb))
+    far, fai = F.fft2_real(fa)
+    fbr, fbi = F.fft2_real(fb)
     # Fb·conj(Fa): with b displaced by (+dy, +dx) relative to a, the
     # inverse-FFT peak lands at (+dy, +dx), so shift_bicubic(b, dy, dx)
     # maps b back onto a — the contract the reference's align loop
     # relies on (core/stacking/align.rs:92-105).
     cr, ci = F.cross_power(fbr, fbi, far, fai, EPSILON)
-    corr, _ = F.ifft2(cr, ci)
+    corr = F.ifft2_real(cr, ci)
 
     dy, dx, confidence = _corr_to_shift(corr, fft_rows, fft_cols)
 
@@ -147,7 +146,7 @@ def correlate_two(a, b1, b2):
     fft_cols = F.next_power_of_two(cols)
 
     fa = _windowed_padded(a, fft_rows, fft_cols)
-    far, fai = F.fft2(fa, jnp.zeros_like(fa))
+    far, fai = F.fft2_real(fa)
     p1 = _windowed_padded(b1, fft_rows, fft_cols)
     p2 = _windowed_padded(b2, fft_rows, fft_cols)
     f1r, f1i, f2r, f2i = F.fft2_two_real(p1, p2)

@@ -57,7 +57,7 @@ def _psf_spectrum(psf, fft_rows: int, fft_cols: int):
     buf = jnp.zeros((fft_rows, fft_cols), jnp.float32)
     buf = jax.lax.dynamic_update_slice(buf, psf, (0, 0))
     buf = jnp.roll(buf, (-cy, -cx), axis=(0, 1))
-    return F.fft2(buf, jnp.zeros_like(buf))
+    return F.fft2_real(buf)
 
 
 @dataclass
@@ -76,10 +76,10 @@ def _rl_kernel(image, psf_r, psf_i, lam, dering_threshold,
 
     def convolve(x, kr, ki):
         buf = jnp.pad(x, ((0, fft_rows - rows), (0, fft_cols - cols)))
-        xr, xi = F.fft2(buf, jnp.zeros_like(buf))
+        xr, xi = F.fft2_real(buf)
         pr = xr * kr - xi * ki
         pi = xr * ki + xi * kr
-        out, _ = F.ifft2(pr, pi)
+        out = F.ifft2_real(pr, pi)
         return out[:rows, :cols]
 
     inv_reg = jnp.where(lam > 0.0, 1.0 / (1.0 + lam), 1.0)

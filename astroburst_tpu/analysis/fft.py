@@ -38,7 +38,7 @@ def _spectrum_kernel(data, size: int, apply_window: bool):
         wx = jnp.asarray(hann_symmetric(cols))
         vals = vals * wy[:, None] * wx[None, :]
     buf = jnp.pad(vals, ((0, size - rows), (0, size - cols)))
-    fr, fi = F.fft2(buf, jnp.zeros_like(buf))
+    fr, fi = F.fft2_real(buf)
     return F.shifted_log_magnitude(fr, fi)
 
 

@@ -173,6 +173,99 @@ def ifft(xr, xi):
     return yr * inv, yi * inv
 
 
+def _dft_along_real(x, inverse: bool, axis: int):
+    """_dft_along for a REAL input: half the matmuls."""
+    n = x.shape[axis]
+    wr_np, wi_np = _dft_matrix(n, inverse)
+    wr = jnp.asarray(wr_np)
+    wi = jnp.asarray(wi_np)
+    if axis == -1:
+        def f(a, w):
+            return jnp.matmul(a, w, precision=_HIGHEST)
+    elif axis == -2:
+        def f(a, w):
+            return jnp.einsum("jk,...jc->...kc", w, a,
+                              precision=_HIGHEST)
+    else:
+        raise ValueError(f"unsupported DFT axis {axis}")
+    return f(x, wr), f(x, wi)
+
+
+def _dft_swapped_real_out(xr, xi, inverse: bool, mid: bool):
+    """_dft_swapped computing only the REAL output component."""
+    n = xr.shape[-2 if mid else -1]
+    wr_np, wi_np = _dft_matrix(n, inverse)
+    wr = jnp.asarray(wr_np)
+    wi = jnp.asarray(wi_np)
+    eq = "jm,...ajc->...mac" if mid else "jm,...aj->...ma"
+
+    def f(a, w):
+        return jnp.einsum(eq, w, a, precision=_HIGHEST)
+
+    return f(xr, wr) - f(xi, wi)
+
+
+def fft2_real(x):
+    """fft2 of a REAL plane: the first stage's imaginary-input matmuls
+    are elided (the rest of the pipeline is complex). ~12% fewer
+    matmuls than fft2(x, zeros) — XLA cannot prove the zeros away."""
+    n = x.shape[-1]
+    if n <= _DIRECT_MAX:
+        yr, yi = _dft_along_real(x, False, -1)
+    else:
+        n1, n2 = _split(n)
+        if n1 * n2 != n:
+            raise ValueError(f"FFT size {n} must be a power of two")
+        shp = x.shape
+        xs = x.reshape(*shp[:-1], n1, n2)
+        if n1 <= _DIRECT_MAX and n2 <= _DIRECT_MAX:
+            ar, ai = _dft_along_real(xs, False, -2)
+            twr_np, twi_np = _twiddle(n1, n2, False)
+            twr = jnp.asarray(twr_np)
+            twi = jnp.asarray(twi_np)
+            tr = ar * twr - ai * twi
+            ti = ar * twi + ai * twr
+            zr, zi = _dft_swapped(tr, ti, False, mid=False)
+            yr = zr.reshape(shp)
+            yi = zi.reshape(shp)
+        else:
+            yr, yi = _fft_core(x, jnp.zeros_like(x), False, axis=-1)
+    return _fft_core(yr, yi, inverse=False, axis=-2)
+
+
+def ifft2_real(xr, xi):
+    """Real part of the inverse 2D FFT, scaled like ifft2 — for
+    known-real results (correlation surfaces, convolution outputs).
+    The final stage's imaginary-output matmuls are elided."""
+    yr, yi = _fft_core(xr, xi, inverse=True, axis=-1)
+    n = yr.shape[-2]
+    inv = 1.0 / (xr.shape[-1] * xr.shape[-2])
+    if n <= _DIRECT_MAX:
+        wr_np, wi_np = _dft_matrix(n, True)
+        wr = jnp.asarray(wr_np)
+        wi = jnp.asarray(wi_np)
+        zr = (jnp.einsum("jk,...jc->...kc", wr, yr, precision=_HIGHEST)
+              - jnp.einsum("jk,...jc->...kc", wi, yi, precision=_HIGHEST))
+        return zr * inv
+    n1, n2 = _split(n)
+    if n1 > _DIRECT_MAX or n2 > _DIRECT_MAX or n1 * n2 != n:
+        zr, _ = _fft_core(yr, yi, True, axis=-2)
+        return zr * inv
+    shp = yr.shape
+    c = shp[-1]
+    lead = shp[:-2]
+    yr = yr.reshape(*lead, n1, n2, c)
+    yi = yi.reshape(*lead, n1, n2, c)
+    ar, ai = _dft_along(yr, yi, True, -3)
+    twr_np, twi_np = _twiddle(n1, n2, True)
+    twr = jnp.asarray(twr_np)[:, :, None]
+    twi = jnp.asarray(twi_np)[:, :, None]
+    tr = ar * twr - ai * twi
+    ti = ar * twi + ai * twr
+    zr = _dft_swapped_real_out(tr, ti, True, mid=True)
+    return zr.reshape(shp) * inv
+
+
 def fft2(xr, xi):
     """Forward 2D FFT over the last two axes (unnormalized), matching
     FftEngine2D::forward_2d (fft.rs:137-150). Both axes run in place

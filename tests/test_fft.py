@@ -142,3 +142,30 @@ def test_fft_batched_four_step(rng):
     scale = np.max(np.abs(want))
     np.testing.assert_allclose(np.asarray(fr), want.real, atol=3e-4 * scale)
     np.testing.assert_allclose(np.asarray(fi), want.imag, atol=3e-4 * scale)
+
+
+def test_fft2_real_matches_complex_path(rng):
+    from astroburst_tpu.ops.fft import fft2, fft2_real
+    import jax.numpy as jnp
+    for shape in [(64, 128), (512, 512)]:
+        x = jnp.asarray(rng.random(shape).astype("float32"))
+        fr, fi = fft2(x, jnp.zeros_like(x))
+        gr, gi = fft2_real(x)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(fr),
+                                   atol=1e-3, err_msg=str(shape))
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(fi),
+                                   atol=1e-3, err_msg=str(shape))
+
+
+def test_ifft2_real_matches_complex_path(rng):
+    from astroburst_tpu.ops.fft import fft2, ifft2, ifft2_real
+    import jax.numpy as jnp
+    for shape in [(64, 128), (512, 512)]:
+        x = jnp.asarray(rng.random(shape).astype("float32"))
+        cr, ci = fft2(x, jnp.zeros_like(x))
+        rr, _ = ifft2(cr, ci)
+        gr = ifft2_real(cr, ci)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr),
+                                   atol=1e-4, err_msg=str(shape))
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(x),
+                                   atol=1e-3, err_msg=str(shape))
