@@ -208,6 +208,34 @@ def main():
     log(f"ipc encode ({small_host.shape}): {ipc_encode_ms:.2f} ms "
         f"({len(buf)} bytes)")
 
+    # affine warp at 16 Mpx (the compose channel-align hot op);
+    # reference budget: the whole affine align runs 0.8 s on CPU
+    import math
+
+    from astroburst_tpu.alignment.affine import AffineTransform
+    from astroburst_tpu.alignment.warp_shear import warp_shear
+    th = math.radians(1.0)
+    ct, st = math.cos(th), math.sin(th)
+    wt = AffineTransform(a=ct, b=-st, tx=2048 - ct * 2048 + st * 2048,
+                         c=st, d=ct, ty=2048 - st * 2048 - ct * 2048)
+    wplane = jnp.pad(out["combined"][:4096, :2048], ((0, 0), (0, 2048)),
+                     mode="reflect")
+    wplane.block_until_ready()
+
+    def warp_cs(x, i):
+        o = warp_shear(x + jnp.float32(i * 1e-6), wt, 4096, 4096)
+        return o[2048, 2048] + o[100, 100]
+    warp_jit = jax.jit(warp_cs)
+    _ = float(warp_jit(wplane, 0))
+    wlat = []
+    for trial in range(3):
+        t0 = time.perf_counter()
+        cs = [warp_jit(wplane, trial * K + i + 1) for i in range(K)]
+        _ = float(reduce_all(*cs))
+        wlat.append((time.perf_counter() - t0) / K)
+    warp_ms = min(wlat) * 1e3
+    log(f"warp 16 Mpx (1°): {warp_ms:.1f} ms")
+
     log("ingest decode bench…")
     ingest_gb_s = bench_ingest_decode()
     log(f"ingest decode: {ingest_gb_s:.2f} GB/s")
@@ -221,6 +249,7 @@ def main():
         "stf_device_ms": round(stf_device_ms, 2),
         "ipc_encode_ms": round(ipc_encode_ms, 2),
         "fetch_floor_ms": round(fetch_floor * 1e3, 1),
+        "warp_16mpx_ms": round(warp_ms, 1),
         "ingest_decode_gb_s": round(ingest_gb_s, 2),
     }))
 
