@@ -132,3 +132,27 @@ def test_onepass_tiny_image(rng):
     got, got_rej = shift_clip_onepass(s, dys, dxs, 3.0, 3.0, 3,
                                       interpret=True)
     _assert_close(got, ref, got_rej, ref_rej)
+
+
+def test_onepass_nan_inf_matches_unfused(rng):
+    """Dead/hot pixels (NaN, inf) flow through the one-pass kernel
+    exactly like the unfused shift+clip path (combine.rs NaN-safety)."""
+    from astroburst_tpu.stacking.combine import sigma_clip_core
+    from astroburst_tpu.ops.resample import shift_bicubic
+    import jax
+
+    s = rng.normal(100, 3, (4, 64, 64)).astype(np.float32)
+    s[1, 20:23, 30:33] = np.nan
+    s[3, 5, 5] = np.inf
+    stack = jnp.asarray(s)
+    dys = jnp.asarray([0.0, 1.5, -2.0, 0.5], jnp.float32)
+    dxs = jnp.asarray([0.0, -0.5, 1.0, 2.5], jnp.float32)
+
+    got, grej = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 3,
+                                   off_max=8, interpret=True)
+    full = jax.vmap(shift_bicubic)(stack, dys, dxs)
+    want, wrej = sigma_clip_core(full, 3.0, 3.0, 3)
+    g, w = np.asarray(got), np.asarray(want)
+    assert np.isnan(g).sum() == 0 and np.isnan(w).sum() == 0
+    np.testing.assert_allclose(g, w, atol=2e-4)
+    assert int(grej) == int(wrej)
