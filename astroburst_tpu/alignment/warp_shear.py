@@ -103,7 +103,16 @@ def _resample_axis(img: jax.Array, base_f: jax.Array, cross_f: jax.Array,
         wj = catmull_rom(t - j)
         idx = jnp.clip(idx_base + j, 0, hi)
         tap = jnp.take(sheared, idx, axis=axis)
-        out = wj * tap if out is None else out + wj * tap
+        term = wj * tap
+        # the 5-tap window covers both 4-tap branches of t ∈ [-1, 1);
+        # the branch-excluded tap has weight 0, but 0·NaN = NaN would
+        # widen the NaN footprint past the reference's 4 taps — force
+        # the excluded term to zero instead
+        if j == -2:
+            term = jnp.where(t >= 0.0, 0.0, term)
+        elif j == 2:
+            term = jnp.where(t < 0.0, 0.0, term)
+        out = term if out is None else out + term
     return out
 
 

@@ -146,3 +146,17 @@ def test_rotation_near_envelope_limit():
     got = np.asarray(warp_shear(jnp.asarray(img), t, 80, 80))
     want = two_pass(img, t, 80, 80)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-5)
+
+
+def test_nan_footprint_matches_two_pass():
+    """NaN pixels must bleed exactly the reference's 4-tap footprint —
+    the shear form's 5-tap union window must not widen it
+    (0·NaN = NaN on the branch-excluded tap)."""
+    img = star_img((64, 64), seed=13)
+    img[30:32, 40:42] = np.nan
+    t = rot_about_center(2.0, 32.0, 32.0)
+    g = np.asarray(warp_shear(jnp.asarray(img), t, 64, 64))
+    w2 = two_pass(img, t, 64, 64)
+    assert (np.isnan(g) == np.isnan(w2)).all()
+    m = ~np.isnan(g)
+    np.testing.assert_allclose(g[m], w2[m], atol=2e-3, rtol=1e-5)
