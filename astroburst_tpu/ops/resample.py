@@ -71,7 +71,12 @@ def shift_bicubic(img: jax.Array, dy, dx) -> jax.Array:
     sx = x + dx
     inside = ((sy >= -0.5) & (sy <= rows - 0.5) &
               (sx >= -0.5) & (sx <= cols - 0.5))
-    return jnp.where(inside, out, 0.0)
+    shifted = jnp.where(inside, out, 0.0)
+    # the reference returns the image untouched for a true zero shift
+    # (align.rs:37-39) — without this, zero-weight taps bleed NaN
+    # around dead pixels on the reference frame (0·NaN = NaN)
+    exact_zero = (jnp.abs(dy) < 1e-12) & (jnp.abs(dx) < 1e-12)
+    return jnp.where(exact_zero, img, shifted)
 
 
 def shift_bicubic_batch(stack: jax.Array, dys, dxs) -> jax.Array:

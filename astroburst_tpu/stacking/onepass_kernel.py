@@ -181,7 +181,14 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
             sx = xx + colf + dx
             inside = ((sy >= -0.5) & (sy <= gh - 0.5) & (sx >= -0.5) &
                       (sx <= w - 0.5))
-            vals.append(jnp.where(inside, out, 0.0))
+            # true zero shift returns raw pixels (align.rs:37-39) — the
+            # zero-weight taps would otherwise bleed NaN around dead
+            # pixels on the reference frame
+            zero_k = ((shift_ref[k, 0] == 0) & (shift_ref[k, 1] == 0) &
+                      (frac_ref[k, 0] == 0.0) & (frac_ref[k, 1] == 0.0))
+            center = tc[1:1 + block_h, 1:1 + block_w]
+            picked = jnp.where(zero_k, center, out)
+            vals.append(jnp.where(inside, picked, 0.0))
 
         combined, rejected = _clip_body(vals, sigma_low, sigma_high,
                                         max_iter)
@@ -214,6 +221,10 @@ def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
         out_h = h
     dys = jnp.clip(jnp.asarray(dys, jnp.float32), -off_max, off_max)
     dxs = jnp.clip(jnp.asarray(dxs, jnp.float32), -off_max, off_max)
+    # snap sub-1e-12 offsets to exact zero so the kernel's raw-pixel
+    # fast path triggers exactly where the reference skips the shift
+    dys = jnp.where(jnp.abs(dys) < 1e-12, 0.0, dys)
+    dxs = jnp.where(jnp.abs(dxs) < 1e-12, 0.0, dxs)
     ky = jnp.floor(dys)
     kx = jnp.floor(dxs)
     shifts = jnp.stack([ky, kx], axis=1).astype(jnp.int32)

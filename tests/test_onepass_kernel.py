@@ -156,3 +156,29 @@ def test_onepass_nan_inf_matches_unfused(rng):
     assert np.isnan(g).sum() == 0 and np.isnan(w).sum() == 0
     np.testing.assert_allclose(g, w, atol=2e-4)
     assert int(grej) == int(wrej)
+
+
+def test_zero_shift_preserves_raw_pixels(rng):
+    """The reference skips resampling at |shift| < 1e-12
+    (align.rs:37-39): zero-shift frames contribute RAW pixels — dead
+    pixels must not bleed NaN into their bicubic neighborhood, and the
+    zero-shift stack must clip exactly like the unshifted stack."""
+    from astroburst_tpu.stacking.combine import sigma_clip_core
+    from astroburst_tpu.ops.resample import shift_bicubic
+    import jax
+
+    s = rng.normal(100, 3, (4, 64, 64)).astype(np.float32)
+    s[0, 40, 40] = np.nan  # dead pixel on the reference frame
+    stack = jnp.asarray(s)
+    z = jnp.zeros(4, jnp.float32)
+    got, _ = shift_clip_onepass(stack, z, z, 3.0, 3.0, 3, off_max=8,
+                                interpret=True)
+    want, _ = sigma_clip_core(stack, 3.0, 3.0, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+    # shift_bicubic itself: zero shift == identity (even at NaN)
+    sb = np.asarray(shift_bicubic(stack[0], jnp.float32(0.0),
+                                  jnp.float32(0.0)))
+    np.testing.assert_array_equal(np.isnan(sb), np.isnan(s[0]))
+    m = ~np.isnan(s[0])
+    np.testing.assert_array_equal(sb[m], s[0][m])
