@@ -535,8 +535,9 @@ def warp_image(image, transform: AffineTransform, out_rows: int,
     params = jnp.asarray(t.as_tuple(), dtype=jnp.float32)
     if exact or abs(t.a) < 1e-3:
         return _warp_kernel(img, params, out_rows, out_cols)
+    from astroburst_tpu.alignment.warp_shear import (ShearEnvelopeError,
+                                                     warp_shear)
     try:
-        from astroburst_tpu.alignment.warp_shear import warp_shear
         return warp_shear(img, t, out_rows, out_cols)
-    except ValueError:
+    except ShearEnvelopeError:
         return _warp_two_pass_kernel(img, params, out_rows, out_cols)

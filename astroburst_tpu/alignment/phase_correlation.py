@@ -228,15 +228,28 @@ def _crop_origin_static(rows: int, cols: int, size: int):
             (max(cols // 2 - size // 2, 0) // 128) * 128)
 
 
+def _refine_origin(cy, cx, rows: int, cols: int, size: int):
+    """Tile-aligned origin for the dynamic refine crop, rounded to the
+    NEAREST (8, 128) multiple (not floored): the static ref-crop origin
+    is itself a tile multiple, so nearest-rounding keeps the two crops
+    mutually aligned to within (±4, ±64) px instead of up to (+7, +127)
+    — preserving Hann-window overlap for shifts near the clamp bounds.
+    The upper clamp is pre-floored to a tile multiple so clamped
+    origins stay aligned (misaligned slices of a tiled plane run ~10×
+    slower)."""
+    y0 = ((cy.astype(jnp.int32) - size // 2 + 4) // 8) * 8
+    x0 = ((cx.astype(jnp.int32) - size // 2 + 64) // 128) * 128
+    y0 = jnp.clip(y0, 0, (max(rows - size, 0) // 8) * 8)
+    x0 = jnp.clip(x0, 0, (max(cols - size, 0) // 128) * 128)
+    return y0, x0
+
+
 def _dynamic_crop(img, cy, cx, size: int):
     rows, cols = img.shape[-2], img.shape[-1]
-    y0 = jnp.clip(cy - size // 2, 0, max(rows - size, 0))
-    x0 = jnp.clip(cx - size // 2, 0, max(cols - size, 0))
     # tile-aligned starts: measured 3.3 ms → sub-ms for 15 crops of a
-    # 16 Mpx plane; the (≤7, ≤127)-px origin shift is reported back
-    # via the same clamped origin the caller computes
-    y0 = (y0.astype(jnp.int32) // 8) * 8
-    x0 = (x0.astype(jnp.int32) // 128) * 128
+    # 16 Mpx plane; the origin shift is reported back via the same
+    # clamped origin the caller computes (_refine_origin)
+    y0, x0 = _refine_origin(cy, cx, rows, cols, size)
     return jax.lax.dynamic_slice(img, (y0, x0),
                                  (min(size, rows), min(size, cols)))
 
@@ -263,10 +276,8 @@ def _phase_correlate_traced(ref, tgt):
     tgt_crop = _dynamic_crop(tgt, tgt_cy, tgt_cx, REFINE_CROP_SIZE)
     # account for the actual crop origins (clamping can move them)
     ref_y0, ref_x0 = _crop_origin_static(rows, cols, REFINE_CROP_SIZE)
-    tgt_y0 = (jnp.clip(tgt_cy - REFINE_CROP_SIZE // 2, 0,
-                       max(rows - REFINE_CROP_SIZE, 0)) // 8) * 8
-    tgt_x0 = (jnp.clip(tgt_cx - REFINE_CROP_SIZE // 2, 0,
-                       max(cols - REFINE_CROP_SIZE, 0)) // 128) * 128
+    tgt_y0, tgt_x0 = _refine_origin(tgt_cy, tgt_cx, rows, cols,
+                                    REFINE_CROP_SIZE)
 
     rdy, rdx, rconf = correlate_single(ref_crop, tgt_crop)
     dy = (tgt_y0 - ref_y0).astype(jnp.float32) + rdy
@@ -288,10 +299,8 @@ def _refine_one(tgt, coarse_dy, coarse_dx, rows, cols):
                       cols - 1).astype(jnp.int32)
     tgt_crop = _dynamic_crop(tgt, tgt_cy, tgt_cx, REFINE_CROP_SIZE)
     ref_y0, ref_x0 = _crop_origin_static(rows, cols, REFINE_CROP_SIZE)
-    tgt_y0 = (jnp.clip(tgt_cy - REFINE_CROP_SIZE // 2, 0,
-                       max(rows - REFINE_CROP_SIZE, 0)) // 8) * 8
-    tgt_x0 = (jnp.clip(tgt_cx - REFINE_CROP_SIZE // 2, 0,
-                       max(cols - REFINE_CROP_SIZE, 0)) // 128) * 128
+    tgt_y0, tgt_x0 = _refine_origin(tgt_cy, tgt_cx, rows, cols,
+                                    REFINE_CROP_SIZE)
     return (tgt_crop, (tgt_y0 - ref_y0).astype(jnp.float32),
             (tgt_x0 - ref_x0).astype(jnp.float32))
 

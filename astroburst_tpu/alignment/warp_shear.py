@@ -144,24 +144,32 @@ def _warp_shear_impl(image: jax.Array, params: jax.Array, out_rows: int,
     return jnp.where(inside, out, 0.0)
 
 
+class ShearEnvelopeError(ValueError):
+    """The transform is outside the shear decomposition's envelope
+    (|a| tiny, or shear span over 4096 px); callers fall back to the
+    gather kernels. A dedicated type so fallbacks don't swallow
+    unexpected ValueErrors from inside the implementation."""
+
+
 def warp_shear(image: jax.Array, transform, out_rows: int,
                out_cols: int) -> jax.Array:
     """Affine warp via shear decomposition; ``transform`` must be a
     concrete AffineTransform (host floats — pad widths become static).
 
-    Raises ValueError when the transform is outside the shear form's
-    envelope (|a| tiny, or shear span over 4096 px) — callers fall back
-    to the gather kernels.
+    Raises ShearEnvelopeError when the transform is outside the shear
+    form's envelope (|a| tiny, or shear span over 4096 px) — callers
+    fall back to the gather kernels.
     """
     t = transform
     if abs(t.a) < 1e-3:
-        raise ValueError("degenerate a; use the exact sampler")
+        raise ShearEnvelopeError("degenerate a; use the exact sampler")
     src_rows, src_cols = image.shape
     q = t.c / t.a
     span_v = abs(q) * max(src_cols - 1, 1)
     span_h = abs(t.b) * max(out_rows - 1, 1)
     if span_v > 4096 or span_h > 4096:
-        raise ValueError("shear span too large; use the exact sampler")
+        raise ShearEnvelopeError(
+            "shear span too large; use the exact sampler")
     m_v = _bucket(int(span_v) + 4)
     m_h = _bucket(int(span_h) + 4)
     nbits_v = max(int(span_v) + 1, 1).bit_length()

@@ -114,6 +114,16 @@ GAIA_MAX_ROWS = 500
 GAIA_MAG_LIMIT = 17.0
 
 
+def gaia_tap_enabled() -> bool:
+    """Opt-in gate for the live Gaia TAP query, mirroring the
+    reference's build-time `vizier` feature flag (spcc.rs:273-274
+    stubs the client in the default build). Default off: spcc
+    calibration must not gain silent external egress (nor a 30 s
+    network stall) just because catalog='gaia_dr3' was requested."""
+    import os
+    return os.environ.get("ASTROBURST_GAIA_TAP", "0") == "1"
+
+
 def build_gaia_adql(ra: float, dec: float, radius_deg: float,
                     max_rows: int = GAIA_MAX_ROWS,
                     mag_limit: float = GAIA_MAG_LIMIT) -> str:
@@ -284,7 +294,7 @@ def spcc_calibrate_rgb(r_image, g_image, b_image, header: HduHeader,
                                          [s.y for s in good])
     is_synthetic = True
     catalog = None
-    if config.catalog == "gaia_dr3":
+    if config.catalog == "gaia_dr3" and gaia_tap_enabled():
         try:
             center = wcs.pixel_to_world(w / 2, h / 2)
             catalog = query_gaia_vizier(center.ra, center.dec, 1.0)

@@ -205,6 +205,9 @@ def lz4_block_decompress(src: bytes, expected_size: int) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise AsdfError("lz4: truncated block in literal "
+                                    "length extension")
                 b = src[i]
                 i += 1
                 lit += b
@@ -225,6 +228,9 @@ def lz4_block_decompress(src: bytes, expected_size: int) -> bytes:
         mlen = token & 0xF
         if mlen == 15:
             while True:
+                if i >= n:
+                    raise AsdfError("lz4: truncated block in match "
+                                    "length extension")
                 b = src[i]
                 i += 1
                 mlen += b
