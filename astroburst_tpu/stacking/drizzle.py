@@ -37,12 +37,12 @@ from astroburst_tpu.alignment.pair import estimate_offset
 from astroburst_tpu.alignment.phase_correlation import (is_low_confidence,
                                                         phase_correlate)
 from astroburst_tpu.constants import MAD_TO_SIGMA
+from astroburst_tpu.ops.sort_network import (bitonic_merge_axis0,
+                                             bitonic_sort_axis0,
+                                             pad_pow2_inf)
 from astroburst_tpu.dtypes import AlignMethod, DrizzleConfig, DrizzleKernel
 from astroburst_tpu.errors import InvalidInput
 from astroburst_tpu.runtime.progress import ProgressHandle
-from astroburst_tpu.stacking.combine import _rank_select
-
-
 def _lanczos3(x):
     ax = jnp.abs(x)
     pi_x = jnp.pi * jnp.where(ax < 1e-12, 1.0, x)
@@ -50,18 +50,58 @@ def _lanczos3(x):
     return jnp.where(ax < 1e-12, 1.0, jnp.where(ax >= 3.0, 0.0, val))
 
 
+def _support_taps(scale: float, half: float, kernel: DrizzleKernel,
+                  exact: bool):
+    """Minimal tap count covering every input pixel that can contribute
+    to one output cell along one axis (the zero-weight-tap pruning of
+    VERDICT r2 task 1 — the old symmetric windows carried 5 taps where
+    2 suffice, a 6.25× blowup on the candidate axis).
+
+    Geometry: input centers c = (ix + d)·scale are spaced ``scale``
+    apart in output coords. For the gather (pre-averaging) form only
+    w > 0 matters: square needs overlap of [c−half, c+half] with
+    [o, o+1] → c-window width 1 + 2·half; gaussian/lanczos are
+    truncated at |o + 0.5 − c| ≤ half + 1 → width 2·half + 2. For the
+    exact push-list form the reference pushes over
+    floor(c−half) ≤ o ≤ ceil(c+half) (drizzle.rs:75-78) → width
+    2 + 2·half — but for SQUARE the w > 1e-12 presence filter already
+    drops the zero-overlap pushes, so the tighter w>0 window applies.
+
+    Open-interval windows (square overlap; the exact push range) hold
+    at most ``ceil(width)`` integers, all within
+    [floor(lower)+1, floor(lower)+ceil(width)] — no margin slot needed
+    (the window edges carry only ~zero-weight taps, and f32 jitter of
+    the floor can only flip those). The gather gaussian/lanczos
+    truncation window is CLOSED, so it keeps a slot at ``floor(lower)``
+    for boundary-inclusive edges: floor(width)+2 taps.
+    Returns (taps, base_offset) with base = floor(lower)+base_offset."""
+    if kernel == DrizzleKernel.SQUARE:
+        width = (1.0 + 2.0 * half) / scale
+        return max(1, math.ceil(width - 1e-9)), 1
+    if exact:
+        width = (2.0 + 2.0 * half) / scale
+        return max(1, math.ceil(width - 1e-9)), 1
+    width = (2.0 * half + 2.0) / scale
+    return math.floor(width + 1e-9) + 2, 0
+
+
 def _axis_weights(n_out: int, n_in: int, d, scale: float, half: float,
-                  kernel: DrizzleKernel, taps: int):
+                  kernel: DrizzleKernel, taps: int, base_off: int = 0):
     """Per-tap (index [n_out], weight [n_out]) for one axis.
 
     Input pixel ix has center c = (ix + d)·scale and half-width `half`
-    in output coordinates; output pixel o covers [o, o+1)."""
+    in output coordinates; output pixel o covers [o, o+1). ``taps``
+    consecutive input indices from floor(lower) + base_off cover every
+    nonzero weight (``_support_taps``).
+    """
     o = jnp.arange(n_out, dtype=jnp.float32)
-    ix_star = (o + 0.5) / scale - d - 0.5  # input index whose center hits o+0.5
-    base = jnp.floor(ix_star).astype(jnp.int32)
+    if kernel == DrizzleKernel.SQUARE:
+        lower = (o - half) / scale - d
+    else:
+        lower = (o + 0.5 - half - 1.0) / scale - d
+    base = jnp.floor(lower).astype(jnp.int32) + base_off
     out = []
-    k = taps // 2
-    for t in range(-k, k + 1):
+    for t in range(taps):
         ix = base + t
         inside = (ix >= 0) & (ix <= n_in - 1)
         ixf = ix.astype(jnp.float32)
@@ -82,18 +122,24 @@ def _axis_weights(n_out: int, n_in: int, d, scale: float, half: float,
 
 
 def _axis_taps_exact(n_out: int, n_in: int, d, scale: float, half: float,
-                     kernel: DrizzleKernel, taps: int):
+                     kernel: DrizzleKernel, taps: int, base_off: int):
     """Per-tap (input index [n_out], weight [n_out]) reproducing the
     reference's push set exactly: input pixel ix contributes to output
     cell o iff floor(cx−half) ≤ o ≤ ceil(cx+half) (the scatter loop
     range, drizzle.rs:75-78), with the kernel weight evaluated at the
-    cell (w > 1e-12 to count)."""
+    cell (w > 1e-12 to count). ``taps`` consecutive indices from
+    floor(lower) + base_off cover every push that can pass the 1e-12
+    presence filter (``_support_taps``; for SQUARE the
+    in-range-but-zero-overlap pushes are never present, so the tighter
+    overlap window applies)."""
     o = jnp.arange(n_out, dtype=jnp.float32)
-    ix_star = (o + 0.5) / scale - d - 0.5
-    base = jnp.floor(ix_star).astype(jnp.int32)
+    if kernel == DrizzleKernel.SQUARE:
+        lower = (o - half) / scale - d
+    else:
+        lower = (o - 1.0 - half) / scale - d
+    base = jnp.floor(lower).astype(jnp.int32) + base_off
     out = []
-    k = taps // 2
-    for t in range(-k, k + 1):
+    for t in range(taps):
         ix = base + t
         inside = (ix >= 0) & (ix <= n_in - 1)
         ixf = ix.astype(jnp.float32)
@@ -119,11 +165,13 @@ def _frame_candidates(frame, d_y, d_x, scale: float, pixfrac: float,
     push order within a frame (row scan: iy asc, ix asc)."""
     in_rows, in_cols = frame.shape
     half = pixfrac * scale * 0.5
-    taps = 2 * math.ceil((half + 1.0) / scale + 1) + 1
+    taps, base_off = _support_taps(scale, half, kernel, exact=True)
     finite = jnp.isfinite(frame)
     vals = jnp.where(finite, frame, 0.0)
-    xt = _axis_taps_exact(out_cols, in_cols, d_x, scale, half, kernel, taps)
-    yt = _axis_taps_exact(out_rows, in_rows, d_y, scale, half, kernel, taps)
+    xt = _axis_taps_exact(out_cols, in_cols, d_x, scale, half, kernel,
+                          taps, base_off)
+    yt = _axis_taps_exact(out_rows, in_rows, d_y, scale, half, kernel,
+                          taps, base_off)
     cand_v, cand_w = [], []
     for idy, wy in yt:
         rows_v = jnp.take(vals, idy, axis=0)       # [out_rows, in_cols]
@@ -197,13 +245,15 @@ def _drizzle_frame(frame, d_y, d_x, scale: float, pixfrac: float,
     """(weighted-sum, weight) fields for one frame, gather-side."""
     in_rows, in_cols = frame.shape
     half = pixfrac * scale * 0.5
-    taps = 2 * math.ceil((half + 0.5) / scale + 1) + 1
+    taps, base_off = _support_taps(scale, half, kernel, exact=False)
     finite = jnp.isfinite(frame)
     vals = jnp.where(finite, frame, 0.0)
     ones = finite.astype(jnp.float32)
 
-    xt = _axis_weights(out_cols, in_cols, d_x, scale, half, kernel, taps)
-    yt = _axis_weights(out_rows, in_rows, d_y, scale, half, kernel, taps)
+    xt = _axis_weights(out_cols, in_cols, d_x, scale, half, kernel,
+                       taps, base_off)
+    yt = _axis_weights(out_rows, in_rows, d_y, scale, half, kernel,
+                       taps, base_off)
 
     # pass 1: along x → [in_rows, out_cols]
     a_val = None
@@ -226,39 +276,75 @@ def _drizzle_frame(frame, d_y, d_x, scale: float, pixfrac: float,
 
 def _clip_mean_frames(estimates, weights_present, sigma_low, sigma_high,
                       iterations: int):
-    """Sigma clip across the frame axis with the drizzle-finalize
+    """Sigma clip across the candidate axis with the drizzle-finalize
     semantics (drizzle.rs:121-178): even-averaging medians, len<3 stop,
-    empty → mean of all."""
+    empty → mean of all.
+
+    Sorted-window formulation: the keep condition is an interval in
+    VALUE space (med − σlo·σ ≤ v ≤ med + σhi·σ), so the kept set is
+    always contiguous in value-sorted order. One sort up front; each
+    iteration then only needs two rank-selects for the median (iota
+    compare + sum — no gather), one deviation sort for the MAD, and
+    two window-shrink counts. 1 + iterations sorts total instead of
+    the naive 2·iterations re-sorts — the sorts are the dominant cost
+    of the exact kernel at scale (candidate axis × full output plane).
+
+    Both sorts run as elementwise bitonic networks
+    (ops/sort_network.py) rather than XLA's generic sort; the
+    per-iteration deviation array ``|sv − med|`` masked to the window
+    is V-shaped (each monotone branch extended by +inf), i.e. bitonic,
+    so it needs only a log2(m)-round bitonic MERGE, not a full sort.
+    """
     mask0 = weights_present
-    mask = mask0
     count0 = jnp.sum(mask0.astype(jnp.int32), axis=0)
-    rejected_total = jnp.zeros((), jnp.int32)
-    stopped = jnp.zeros(estimates.shape[1:], bool)
+    # masked → +inf sorts to the tail; entries [0, count0) are the live
+    # candidates in ascending value order (power-of-2 pad joins the
+    # +inf tail and is dropped from every rank/count by construction)
+    sv = bitonic_sort_axis0(pad_pow2_inf(
+        jnp.where(mask0, estimates.astype(jnp.float32), jnp.inf)))
+    iota = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 0)
 
-    def masked_median_avg(vals, m):
-        cnt = jnp.sum(m.astype(jnp.int32), axis=0)
-        sv = jnp.sort(jnp.where(m, vals, jnp.inf), axis=0)
-        v1 = _rank_select(sv, jnp.maximum((cnt - 1) // 2, 0))
-        v2 = _rank_select(sv, jnp.maximum(cnt // 2, 0))
-        return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0), cnt
+    def rank2(arr, r1, r2, cnt):
+        """(arr@r1 + arr@r2)/2 with cnt>0 guard — the even-averaging
+        median, via compare+sum instead of per-pixel gathers."""
+        p = jnp.sum(jnp.where(iota == r1[None], arr, 0.0), axis=0)
+        q = jnp.sum(jnp.where(iota == r2[None], arr, 0.0), axis=0)
+        return jnp.where(cnt > 0, (p + q) * 0.5, 0.0)
 
+    lo = jnp.zeros(sv.shape[1:], jnp.int32)
+    hi = count0
+    stopped = jnp.zeros(sv.shape[1:], bool)
     for _ in range(iterations):
-        med, cnt = masked_median_avg(estimates, mask)
-        dev_med, _ = masked_median_avg(jnp.abs(estimates - med), mask)
-        sigma = jnp.maximum(dev_med * MAD_TO_SIGMA, 1e-10)
+        cnt = hi - lo
+        med = rank2(sv, lo + jnp.maximum((cnt - 1) // 2, 0),
+                    lo + jnp.maximum(cnt // 2, 0), cnt)
+        window = (iota >= lo[None]) & (iota < hi[None])
+        # V-shaped in sorted-v order (dec to the median position, inc
+        # after, ±inf padding extending both branches) → bitonic, one
+        # merge sorts it
+        dv = bitonic_merge_axis0(
+            jnp.where(window, jnp.abs(sv - med[None]), jnp.inf))
+        mad = rank2(dv, jnp.maximum((cnt - 1) // 2, 0),
+                    jnp.maximum(cnt // 2, 0), cnt)
+        sigma = jnp.maximum(mad * MAD_TO_SIGMA, 1e-10)
         active = (cnt >= 3) & ~stopped
-        dev = estimates - med
-        keep = (dev >= -sigma_low * sigma) & (dev <= sigma_high * sigma)
-        new_mask = jnp.where(active[None], mask & keep, mask)
-        removed = cnt - jnp.sum(new_mask.astype(jnp.int32), axis=0)
+        vlo = med - sigma_low * sigma
+        vhi = med + sigma_high * sigma
+        cut_lo = jnp.sum((window & (sv < vlo[None])).astype(jnp.int32),
+                         axis=0)
+        cut_hi = jnp.sum((window & (sv > vhi[None])).astype(jnp.int32),
+                         axis=0)
+        removed = cut_lo + cut_hi
+        lo = jnp.where(active, lo + cut_lo, lo)
+        hi = jnp.where(active, hi - cut_hi, hi)
         stopped = stopped | (active & (removed == 0))
-        mask = new_mask
 
-    final_cnt = jnp.sum(mask.astype(jnp.int32), axis=0)
-    mean_kept = jnp.sum(jnp.where(mask, estimates, 0.0), axis=0) / jnp.maximum(
+    final_cnt = hi - lo
+    window = (iota >= lo[None]) & (iota < hi[None])
+    mean_kept = jnp.sum(jnp.where(window, sv, 0.0), axis=0) / jnp.maximum(
         final_cnt.astype(jnp.float32), 1.0)
-    mean_all = jnp.sum(jnp.where(mask0, estimates, 0.0), axis=0) / jnp.maximum(
-        count0.astype(jnp.float32), 1.0)
+    mean_all = jnp.sum(jnp.where(iota < count0[None], sv, 0.0),
+                       axis=0) / jnp.maximum(count0.astype(jnp.float32), 1.0)
     out = jnp.where(final_cnt > 0, mean_kept,
                     jnp.where(count0 > 0, mean_all, 0.0))
     return out, count0 - final_cnt  # (image, per-pixel rejected map)
@@ -359,6 +445,20 @@ def drizzle_stack(images: Sequence, config: DrizzleConfig = DrizzleConfig(),
     d_ys = jnp.asarray([-dy for _dx, dy in offsets], jnp.float32)
     if progress is not None:
         progress.tick_with_stage("drizzling")
+    # Auto-route: when no output pixel can receive more than one
+    # contribution per frame, the pre-averaging kernel is *identical*
+    # to the capped push-list finalize (per-frame pre-average of a
+    # single contribution is that contribution; the cap ≥ 2·n never
+    # binds at ≤ n candidates; weight maps coincide) and runs without
+    # the n·taps² candidate axis. One contribution per axis is
+    # guaranteed iff the input-center support window (1 + pixfrac·scale
+    # wide, centers spaced `scale` apart) never holds two centers:
+    # 1 + pixfrac·scale ≤ scale. SQUARE only — the gaussian/lanczos
+    # push range is wider than their weight support, so membership of
+    # near-zero-weight pushes differs between the two forms.
+    if (exact and config.kernel == DrizzleKernel.SQUARE
+            and 1.0 + pixfrac * scale <= scale + 1e-9):
+        exact = False
     kernel_fn = _drizzle_kernel_exact if exact else _drizzle_kernel
     image, weight_map, rejected = kernel_fn(
         stack, d_ys, d_xs, scale, pixfrac, config.kernel, out_rows, out_cols,
