@@ -44,20 +44,25 @@ def generate_gaussian_psf(size: int, sigma: float) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("fft_rows", "fft_cols"))
 def _psf_spectrum(psf, fft_rows: int, fft_cols: int):
-    """Wraparound center-origin placement + FFT (deconvolution.rs:62-80).
+    """Wraparound center-origin placement + half-spectrum FFT
+    (deconvolution.rs:62-80).
 
     Only the small PSF crosses to the device; the padded buffer is
     built there (update-slice + free roll). The old host-side
     np.zeros((fft_rows, fft_cols)) upload moved 64 MB of zeros per
     call — ~2 s through the axon tunnel, and the entire reason RL
-    looked slow (device compute is ~25 ms/iteration at 2048²)."""
+    looked slow (device compute is ~25 ms/iteration at 2048²).
+
+    Returns the rfft2 half spectrum [fft_rows, fft_cols//2 + 1]: the
+    RL iteration is real-in/real-out end to end, so the redundant
+    conjugate half is never materialized (~2× on the FFT matmuls)."""
     psf = jnp.asarray(psf, jnp.float32)
     pr, pc = psf.shape
     cy, cx = pr // 2, pc // 2
     buf = jnp.zeros((fft_rows, fft_cols), jnp.float32)
     buf = jax.lax.dynamic_update_slice(buf, psf, (0, 0))
     buf = jnp.roll(buf, (-cy, -cx), axis=(0, 1))
-    return F.fft2_real(buf)
+    return F.rfft2(buf)
 
 
 @dataclass
@@ -67,19 +72,21 @@ class RLResult:
     convergence: float
 
 
-@partial(jax.jit, static_argnames=("iterations", "deringing"))
+@partial(jax.jit, static_argnames=("fft_cols", "iterations", "deringing"))
 def _rl_kernel(image, psf_r, psf_i, lam, dering_threshold,
-               iterations: int, deringing: bool):
+               fft_cols: int, iterations: int, deringing: bool):
     rows, cols = image.shape
-    fft_rows, fft_cols = psf_r.shape
+    fft_rows = psf_r.shape[0]
     psf_conj_i = -psf_i
 
     def convolve(x, kr, ki):
+        # real-packed convolution: half-spectrum forward, pointwise on
+        # C/2+1 columns, half-packed real inverse (ops/fft.py rfft2)
         buf = jnp.pad(x, ((0, fft_rows - rows), (0, fft_cols - cols)))
-        xr, xi = F.fft2_real(buf)
+        xr, xi = F.rfft2(buf)
         pr = xr * kr - xi * ki
         pi = xr * ki + xi * kr
-        out = F.ifft2_real(pr, pi)
+        out = F.irfft2(pr, pi, fft_cols)
         return out[:rows, :cols]
 
     inv_reg = jnp.where(lam > 0.0, 1.0 / (1.0 + lam), 1.0)
@@ -121,8 +128,8 @@ def richardson_lucy(image, psf, config: RLConfig = RLConfig(),
         progress.tick_with_stage("deconvolving")
     est, iters, conv = _rl_kernel(
         img, psf_r, psf_i, jnp.float32(config.regularization),
-        jnp.float32(config.dering_threshold), config.iterations,
-        config.dering)
+        jnp.float32(config.dering_threshold), fft_cols,
+        config.iterations, config.dering)
     if progress is not None:
         progress.tick_with_stage(f"done ({int(iters)} iterations)")
     return RLResult(image=est, iterations_run=int(iters),

@@ -266,6 +266,68 @@ def ifft2_real(xr, xi):
     return zr.reshape(shp) * inv
 
 
+def _reverse_freq1(x):
+    """x[..., (-k) % n] along the last axis."""
+    return jnp.roll(jnp.flip(x, axis=-1), 1, axis=-1)
+
+
+def rfft2(x):
+    """Half-spectrum forward 2D FFT of a REAL plane: returns
+    (yr, yi) of shape [..., R, C//2 + 1] — the full spectrum's
+    non-redundant columns (conjugate symmetry supplies the rest).
+
+    Two savings over :func:`fft2_real`, ~2× total:
+    - Row stage runs on R/2 complex rows: the top and bottom halves
+      pack as real/imag of one transform (contiguous half-slices —
+      NEVER stride-slice a plane on this backend) and untangle by
+      conjugate symmetry afterwards.
+    - Column stage runs on C/2 + 1 columns only.
+    """
+    r = x.shape[-2]
+    c = x.shape[-1]
+    ch = c // 2 + 1
+    zr = x[..., : r // 2, :]
+    zi = x[..., r // 2:, :]
+    wr, wi = _fft_core(zr, zi, inverse=False, axis=-1)
+    wrr = _reverse_freq1(wr)
+    wir = _reverse_freq1(wi)
+    top_r = 0.5 * (wr + wrr)
+    top_i = 0.5 * (wi - wir)
+    bot_r = 0.5 * (wi + wir)
+    bot_i = 0.5 * (wrr - wr)
+    yr = jnp.concatenate([top_r, bot_r], axis=-2)[..., :ch]
+    yi = jnp.concatenate([top_i, bot_i], axis=-2)[..., :ch]
+    return _fft_core(yr, yi, inverse=False, axis=-2)
+
+
+def irfft2(xr, xi, cols: int):
+    """Real inverse of :func:`rfft2`: input [..., R, C//2 + 1] half
+    spectrum, output the real [..., R, C] plane (``cols`` = C).
+
+    Column stage inverts the C/2 + 1 stored columns; the remaining
+    columns follow from per-row conjugate symmetry of the
+    post-column-stage array (A[u, C−v] = conj(A[u, v]) — a column
+    flip, no row reversal). The row stage then packs output row j with
+    row j + R/2 as one complex inverse transform (both results are
+    real), halving it too.
+    """
+    r = xr.shape[-2]
+    ch = xr.shape[-1]
+    if cols // 2 + 1 != ch:
+        raise ValueError(f"half spectrum has {ch} columns; expected "
+                         f"{cols // 2 + 1} for cols={cols}")
+    ar, ai = _fft_core(xr, xi, inverse=True, axis=-2)
+    ext_r = jnp.flip(ar[..., 1:ch - 1], axis=-1)
+    ext_i = -jnp.flip(ai[..., 1:ch - 1], axis=-1)
+    fr = jnp.concatenate([ar, ext_r], axis=-1)
+    fi = jnp.concatenate([ai, ext_i], axis=-1)
+    er = fr[..., : r // 2, :] - fi[..., r // 2:, :]
+    ei = fi[..., : r // 2, :] + fr[..., r // 2:, :]
+    br, bi = _fft_core(er, ei, inverse=True, axis=-1)
+    inv = 1.0 / (r * cols)
+    return jnp.concatenate([br, bi], axis=-2) * inv
+
+
 def fft2(xr, xi):
     """Forward 2D FFT over the last two axes (unnormalized), matching
     FftEngine2D::forward_2d (fft.rs:137-150). Both axes run in place

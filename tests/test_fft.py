@@ -169,3 +169,55 @@ def test_ifft2_real_matches_complex_path(rng):
                                    atol=1e-4, err_msg=str(shape))
         np.testing.assert_allclose(np.asarray(gr), np.asarray(x),
                                    atol=1e-3, err_msg=str(shape))
+
+
+def test_rfft2_matches_full_spectrum(rng):
+    """Half-spectrum rfft2 == fft2_real's non-redundant columns, and
+    irfft2 roundtrips to the input exactly (used end-to-end by RL
+    deconvolution — VERDICT r2 task 7 real-input packing)."""
+    from astroburst_tpu.ops import fft as F
+    x = rng.normal(size=(64, 128)).astype(np.float32)
+    fr, fi = F.fft2_real(jnp.asarray(x))
+    hr, hi = F.rfft2(jnp.asarray(x))
+    scale = float(np.abs(np.asarray(fr)).max())
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(fr)[:, :65],
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(fi)[:, :65],
+                               atol=2e-5 * scale)
+    back = F.irfft2(hr, hi, 128)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+def test_rl_packed_convolve_matches_unpacked(rng):
+    """RL's rfft2-packed convolution == the full-spectrum convolution
+    it replaced, through a whole deconvolution run."""
+    import jax.numpy as jnp2
+    from astroburst_tpu.analysis.deconvolution import (
+        generate_gaussian_psf, richardson_lucy)
+    from astroburst_tpu.dtypes import RLConfig
+    from astroburst_tpu.ops import fft as F
+
+    img = rng.normal(50, 4, (96, 80)).astype(np.float32)
+    img[40:43, 30:33] += 400.0
+    psf = generate_gaussian_psf(15, 2.0)
+    res = richardson_lucy(jnp2.asarray(img), psf,
+                          RLConfig(iterations=6, dering=False))
+
+    # independent full-spectrum RL in numpy via the same math
+    fr_, fc_ = 128, 128
+    buf = np.zeros((fr_, fc_), np.float64)
+    buf[:15, :15] = psf
+    buf = np.roll(buf, (-7, -7), axis=(0, 1))
+    K = np.fft.fft2(buf)
+
+    def conv(x, k):
+        b = np.zeros((fr_, fc_), np.float64)
+        b[:96, :80] = x
+        return np.real(np.fft.ifft2(np.fft.fft2(b) * k))[:96, :80]
+
+    est = img.astype(np.float64)
+    for _ in range(6):
+        ratio = img / (conv(est, K) + 1e-6)
+        est = np.maximum(est * conv(ratio, np.conj(K)), 0.0)
+    np.testing.assert_allclose(np.asarray(res.image), est,
+                               rtol=2e-4, atol=2e-3)
