@@ -54,3 +54,35 @@ print(f"get_cube_spectrum: len={len(spec)} in {time.perf_counter()-t0:.1f}s", fl
 s = np.asarray(spec)
 assert s[400] > s[100], (s[100], s[400])
 print("CUBE SCALE OK", flush=True)
+
+# sharded FFT stages over an 8-virtual-device mesh on a cube slice
+# (BASELINE config #5: "FFT power spectrum + deconvolution sharded
+# over mesh") — virtual CPU mesh here; same code drives real chips
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax.extend as jex
+jex.backend.clear_backends()
+import jax.numpy as jnp
+from astroburst_tpu.analysis.deconvolution import generate_gaussian_psf
+from astroburst_tpu.dtypes import RLConfig
+from astroburst_tpu.parallel import make_mesh
+from astroburst_tpu.parallel.fft import (sharded_deconvolve,
+                                         sharded_power_spectrum)
+from astroburst_tpu.cube.lazy import LazyCube
+
+mesh = make_mesh(8, ("rows",), (8,))
+cube = LazyCube(p)
+frame = jnp.asarray(np.asarray(cube.get_frame(250), np.float32))
+t0 = time.perf_counter()
+est, iters, conv = sharded_deconvolve(mesh, frame,
+                                      generate_gaussian_psf(15, 2.0),
+                                      RLConfig(iterations=10))
+est.block_until_ready()
+print(f"sharded RL 1000x1000 x10 over 8 shards: {iters} iters in "
+      f"{time.perf_counter()-t0:.1f}s", flush=True)
+t0 = time.perf_counter()
+spec = sharded_power_spectrum(mesh, frame)
+spec.block_until_ready()
+print(f"sharded power spectrum: {spec.shape} in "
+      f"{time.perf_counter()-t0:.1f}s", flush=True)
+print("SHARDED FFT STAGES OK", flush=True)

@@ -249,3 +249,67 @@ def test_sharded_a2a_clip_matches_plain(rng):
     assert int(rej) == int(ref_rej)
     hlo = fn.lower(sharded_in, dys, dxs).compile().as_text()
     assert "all-to-all" in hlo
+
+
+def test_sharded_fft2_matches_local(rng):
+    """Distributed transpose-form fft2 (local row FFT → all_to_all →
+    local col FFT) == single-device fft2, and the HLO carries the
+    all-to-all."""
+    from astroburst_tpu.ops import fft as F
+    from astroburst_tpu.parallel.fft import sharded_fft2, sharded_ifft2
+
+    mesh = make_mesh(8, ("rows",), (8,))
+    x = rng.normal(size=(128, 256)).astype(np.float32)
+    ref_r, ref_i = F.fft2(jnp.asarray(x), jnp.zeros((128, 256), jnp.float32))
+    xd = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P("rows", None)))
+    zd = jax.device_put(jnp.zeros((128, 256), jnp.float32),
+                        NamedSharding(mesh, P("rows", None)))
+    fn = jax.jit(lambda a, b: sharded_fft2(mesh, a, b))
+    gr, gi = fn(xd, zd)
+    scale = float(np.abs(np.asarray(ref_r)).max())
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(ref_r),
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ref_i),
+                               atol=3e-6 * scale)
+    assert "all-to-all" in fn.lower(xd, zd).compile().as_text()
+    br, bi = sharded_ifft2(mesh, gr, gi)
+    np.testing.assert_allclose(np.asarray(br), x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bi), 0.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_deconvolve_matches_single(rng):
+    """Mesh-sharded RL == single-device RL (deconvolution.rs:141-213
+    semantics) to f32 tolerance — BASELINE config #5's promise."""
+    from astroburst_tpu.analysis.deconvolution import (
+        generate_gaussian_psf, richardson_lucy)
+    from astroburst_tpu.dtypes import RLConfig
+    from astroburst_tpu.parallel.fft import sharded_deconvolve
+
+    img = rng.normal(50, 4, (96, 112)).astype(np.float32)
+    img[40:43, 30:33] += 400.0
+    img[60, 80] += 900.0
+    psf = generate_gaussian_psf(11, 1.8)
+    cfg = RLConfig(iterations=5, dering=True)
+    ref = richardson_lucy(jnp.asarray(img), psf, cfg)
+
+    mesh = make_mesh(8, ("rows",), (8,))
+    est, iters, conv = sharded_deconvolve(mesh, jnp.asarray(img), psf,
+                                          cfg)
+    assert iters == ref.iterations_run
+    np.testing.assert_allclose(np.asarray(est), np.asarray(ref.image),
+                               rtol=2e-3, atol=2e-2)
+
+
+def test_sharded_power_spectrum_matches_single(rng):
+    from astroburst_tpu.analysis.fft import _spectrum_kernel
+    from astroburst_tpu.parallel.fft import sharded_power_spectrum
+
+    mesh = make_mesh(8, ("rows",), (8,))
+    img = rng.normal(10, 2, (200, 180)).astype(np.float32)
+    img[13, 17] = np.nan
+    ref = _spectrum_kernel(jnp.asarray(img), 1024, True)
+    got = sharded_power_spectrum(mesh, jnp.asarray(img), True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3)
