@@ -73,11 +73,19 @@ def make_frames(n, h, w, seed=3):
 
 
 def bench_ingest_decode():
-    """Host decode GB/s: 10×64 MB BITPIX=-32 frames through the
-    dispatcher + native byteswap, pipelined by io/prefetch.py."""
+    """Host decode (GB/s, cores): 10×64 MB BITPIX=-32 frames through
+    the dispatcher + native byteswap, pipelined by io/prefetch.py.
+
+    Thread depth matches the available cores — on a 1-core box extra
+    worker threads only thrash (r02 recorded 1.06 GB/s with depth=4
+    on 1 core; depth=1 measures ~3 GB/s on the same box). The core
+    count is recorded alongside so the number is interpretable
+    (reference comparable: 1.4 GB/s on 16 Rayon cores, tex:610)."""
     from astroburst_tpu.io.fits_writer import write_fits_mono
     from astroburst_tpu.io.prefetch import prefetch_images
 
+    cores = os.cpu_count() or 1
+    depth = max(1, min(4, cores))
     d = tempfile.mkdtemp(prefix="bench_ingest_")
     rng = np.random.default_rng(7)
     plane = rng.normal(100.0, 8.0, (4096, 4096)).astype(np.float32)
@@ -87,20 +95,20 @@ def bench_ingest_decode():
         write_fits_mono(p, plane, bitpix=-32)
         paths.append(p)
     total_gb = 10 * plane.nbytes / 1e9
-    # warm the page cache + the thread pool once
-    for img in prefetch_images(paths[:2], depth=2, to_device=False):
+    # warm the page cache + the thread pool + the native lib once
+    for img in prefetch_images(paths[:2], depth=depth, to_device=False):
         pass
     best = 1e9
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         n = 0
-        for img in prefetch_images(paths, depth=4, to_device=False):
+        for img in prefetch_images(paths, depth=depth, to_device=False):
             n += img.image.shape[0]
         best = min(best, time.perf_counter() - t0)
     for p in paths:
         os.unlink(p)
     os.rmdir(d)
-    return total_gb / best
+    return total_gb / best, cores
 
 
 def main():
@@ -237,8 +245,8 @@ def main():
     log(f"warp 16 Mpx (1°): {warp_ms:.1f} ms")
 
     log("ingest decode bench…")
-    ingest_gb_s = bench_ingest_decode()
-    log(f"ingest decode: {ingest_gb_s:.2f} GB/s")
+    ingest_gb_s, ingest_cores = bench_ingest_decode()
+    log(f"ingest decode: {ingest_gb_s:.2f} GB/s on {ingest_cores} core(s)")
 
     print(json.dumps({
         "metric": "align+stack+stretch megapixels/sec/chip "
@@ -251,6 +259,7 @@ def main():
         "fetch_floor_ms": round(fetch_floor * 1e3, 1),
         "warp_16mpx_ms": round(warp_ms, 1),
         "ingest_decode_gb_s": round(ingest_gb_s, 2),
+        "ingest_cores": ingest_cores,
     }))
 
 
