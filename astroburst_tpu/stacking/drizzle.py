@@ -205,17 +205,32 @@ def _finalize_exact(cand_v, cand_w, cap: int, sigma_low, sigma_high,
 @partial(jax.jit,
          static_argnames=("scale", "pixfrac", "kernel", "out_rows",
                           "out_cols", "sigma_low", "sigma_high",
-                          "sigma_iterations", "band_rows"))
+                          "sigma_iterations", "band_rows", "use_pallas",
+                          "interpret"))
 def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
                           kernel: DrizzleKernel, out_rows: int,
                           out_cols: int, sigma_low: float,
                           sigma_high: float, sigma_iterations: int,
-                          band_rows: int = 64):
+                          band_rows: int = 64,
+                          use_pallas: bool | None = None,
+                          interpret: bool = False):
     """Exact-parity drizzle: per-(frame, tap) candidate planes with the
     reference's capped push-list semantics, banded over output rows to
-    bound the [n_frames·taps², rows, cols] candidate tensor."""
+    bound the [n_frames·taps², rows, cols] candidate tensor.
+
+    On TPU the finalize runs as the register-resident Pallas kernel
+    (stacking/drizzle_kernel.py — one HBM read of the candidates; the
+    XLA network rounds materialize ~50× that in traffic at scale);
+    ``use_pallas=False`` keeps the XLA reference path."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     n = stack.shape[0]
     cap = max(n * 2, 4)
+    if use_pallas:
+        from astroburst_tpu.stacking.drizzle_kernel import (
+            drizzle_finalize_pallas)
+        cols_pad = -(-out_cols // 128) * 128
+        block_w = 512 if cols_pad % 512 == 0 else 128
 
     def one_band(r0):
         # shift the output grid: band rows [r0, r0+band_rows) are the
@@ -229,6 +244,17 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
             parts.append((cv, cw))
         cand_v = jnp.concatenate([p[0] for p in parts], axis=0)
         cand_w = jnp.concatenate([p[1] for p in parts], axis=0)
+        if use_pallas:
+            pad = cols_pad - out_cols
+            if pad:
+                cand_v = jnp.pad(cand_v, ((0, 0), (0, 0), (0, pad)))
+                cand_w = jnp.pad(cand_w, ((0, 0), (0, 0), (0, pad)))
+            img, wgt, rej = drizzle_finalize_pallas(
+                cand_v, cand_w, cap, sigma_low, sigma_high,
+                sigma_iterations, interpret=interpret,
+                block_w=block_w)
+            return (img[:, :out_cols], wgt[:, :out_cols],
+                    rej[:, :out_cols])
         return _finalize_exact(cand_v, cand_w, cap, sigma_low, sigma_high,
                                sigma_iterations)
 

@@ -248,6 +248,13 @@ def main():
     ingest_gb_s, ingest_cores = bench_ingest_decode()
     log(f"ingest decode: {ingest_gb_s:.2f} GB/s on {ingest_cores} core(s)")
 
+    # per-op table: every published reference row (bench_ops.py);
+    # skippable via ASTROBURST_BENCH_HEADLINE_ONLY=1 for quick runs
+    ops = {}
+    if os.environ.get("ASTROBURST_BENCH_HEADLINE_ONLY", "0") != "1":
+        import bench_ops
+        ops = bench_ops.run_all()
+
     print(json.dumps({
         "metric": "align+stack+stretch megapixels/sec/chip "
                   f"({N_FRAMES}x{H}x{W} f32, 5 clip iters)",
@@ -260,6 +267,7 @@ def main():
         "warp_16mpx_ms": round(warp_ms, 1),
         "ingest_decode_gb_s": round(ingest_gb_s, 2),
         "ingest_cores": ingest_cores,
+        "ops": ops,
     }))
 
 

@@ -1,0 +1,440 @@
+"""Per-op TPU benchmarks for every published reference number.
+
+One row per figure in the reference's benchmark table
+(docs/code/astroburst_technical_document.tex:609-619 + README in-app
+timings; see BASELINE.md). Each entry reports {ms, ref_ms} — ours vs
+the reference's Ryzen 9 7950X / consumer-GPU figure.
+
+Measurement rules (CLAUDE.md): device-side ops are timed with K
+pipelined dispatches on distinct inputs, checksums reduced ON DEVICE,
+ONE scalar fetch (the axon tunnel costs ~31 ms per host fetch and
+fetches serialize). Ops with host-side stages (star detection's dedupe
+pass, the affine chain's RANSAC drive, FITS export) are timed
+end-to-end wall clock INCLUDING their device fetches — the tunnel
+penalty is charged to us, not excluded. Host↔device bulk pixel
+transfer is excluded everywhere (the tunnel moves ~5 MB/s; production
+hosts feed TPUs over PCIe) — ingest decode is measured separately in
+bench.py.
+
+Run standalone (`python bench_ops.py`) for the table, or bench.py
+folds the dict into its JSON line as "ops".
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _jx():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+def _device_time_ms(make_call, K=6, trials=2):
+    """Best per-call latency over pipelined K-batches, single fetch."""
+    jax, jnp = _jx()
+    reduce_all = jax.jit(lambda *xs: sum(xs))
+    _ = float(make_call(0))  # warm/compile
+    best = 1e9
+    for t in range(trials):
+        t0 = time.perf_counter()
+        cs = [make_call(t * K + i + 1) for i in range(K)]
+        _ = float(reduce_all(*cs))
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best * 1e3
+
+
+def _star_field(h, w, n_stars, seed=0, fwhm=2.2, amp=3000.0):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(100.0, 5.0, (h, w)).astype(np.float32)
+    ys = rng.random(n_stars) * (h - 20) + 10
+    xs = rng.random(n_stars) * (w - 20) + 10
+    amps = amp * (0.3 + rng.random(n_stars))
+    yy = np.arange(h, dtype=np.float32)[:, None]
+    xx = np.arange(w, dtype=np.float32)[None, :]
+    s2 = (fwhm / 2.3548) ** 2 * 2.0
+    for sy, sx, a in zip(ys, xs, amps):
+        y0, y1 = max(int(sy) - 6, 0), min(int(sy) + 7, h)
+        x0, x1 = max(int(sx) - 6, 0), min(int(sx) + 7, w)
+        base[y0:y1, x0:x1] += (a * np.exp(
+            -((yy[y0:y1] - sy) ** 2 + (xx[:, x0:x1] - sx) ** 2) / s2
+        )).astype(np.float32)
+    return base
+
+
+def bench_hist_autostf():
+    """Histogram stats + auto-STF, 4096² (ref 35 ms, tex:611)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.imaging.stf import auto_stf_traced
+    from astroburst_tpu.ops.stats import stats_core
+
+    x = jnp.asarray(_star_field(4096, 4096, 300, seed=1))
+    x.block_until_ready()
+
+    @jax.jit
+    def run(img):
+        mn, mx, _t, count, med, mad = stats_core(img, False)
+        sigma = jnp.maximum(mad * 1.4826, 1e-30)
+        sh, mt = auto_stf_traced(mn, mx, med, sigma, count)
+        return sh + mt + med
+
+    return _device_time_ms(lambda i: run(x + jnp.float32(i * 1e-6)))
+
+
+def bench_star_detection(h, w, n_stars, seed=2):
+    """detect_stars σ=5 end-to-end (device kernels + the host dedupe
+    pass + its fetch)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.analysis.star_detection import detect_stars
+
+    x = jnp.asarray(_star_field(h, w, n_stars, seed=seed))
+    x.block_until_ready()
+    res = detect_stars(x, 5.0)  # compile
+    n_found = len(res.stars)
+    best = 1e9
+    for i in range(3):
+        xi = x + jnp.float32((i + 1) * 1e-6)
+        xi.block_until_ready()
+        t0 = time.perf_counter()
+        res = detect_stars(xi, 5.0)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3, n_found
+
+
+def bench_masked_stretch():
+    """Masked stretch, 10 iterations, 4096² (ref 1.2 s, tex:617).
+    Star-mask generation + iterative MTF solve, all on device."""
+    jax, jnp = _jx()
+    from astroburst_tpu.imaging.masked_stretch import (MaskedStretchConfig,
+                                                       masked_stretch)
+
+    x = jnp.asarray(_star_field(4096, 4096, 3000, seed=3))
+    x.block_until_ready()
+    cfg = MaskedStretchConfig(iterations=10)
+
+    def call(i):
+        res = masked_stretch(x + jnp.float32(i * 1e-6), cfg)
+        return res.image[0, 0] + res.image[-1, -1]
+
+    return _device_time_ms(call, K=4)
+
+
+def bench_tone_curves():
+    """Spline tone curves on a 5655×2206 3-channel composite
+    (ref 2425 ms in-app, README:53)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.imaging.curves import SplineCurve, apply_curve_rgb
+
+    h, w = 5655, 2206
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    g = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    b = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    jax.block_until_ready((r, g, b))
+    curve = SplineCurve([(0.0, 0.0), (0.3, 0.45), (0.7, 0.8), (1.0, 1.0)])
+
+    @jax.jit
+    def run(r, g, b):
+        rr, gg, bb = apply_curve_rgb(r, g, b, curve, curve, curve)
+        return rr[0, 0] + gg[100, 100] + bb[-1, -1]
+
+    return _device_time_ms(lambda i: run(r + jnp.float32(i * 1e-6), g, b))
+
+
+def bench_blend_stf_lum():
+    """3-channel blend + linked auto-STF stretch + luminance synth,
+    4096²×3 on device (ref 0.4 s incl. its FITS write, tex:615 —
+    the host FITS write is benched separately as fits_rgb_export)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.compose.channel_blend import blend_channels
+    from astroburst_tpu.imaging.masked_stretch import synthesize_luminance
+    from astroburst_tpu.imaging.stf import apply_stf_traced, auto_stf_traced
+    from astroburst_tpu.ops.stats import stats_core
+
+    rng = np.random.default_rng(5)
+    chans = [jnp.asarray(rng.normal(100, 10, (4096, 4096)).astype(np.float32))
+             for _ in range(3)]
+    import jax as _j
+    _j.block_until_ready(chans)
+    weights = [
+        {"channel_idx": 0, "r_weight": 1.0, "g_weight": 0.1, "b_weight": 0.0},
+        {"channel_idx": 1, "r_weight": 0.1, "g_weight": 0.8, "b_weight": 0.1},
+        {"channel_idx": 2, "r_weight": 0.0, "g_weight": 0.1, "b_weight": 1.0},
+    ]
+
+    @jax.jit
+    def run(c0, c1, c2):
+        r, g, b = blend_channels([c0, c1, c2], weights)
+        lum = synthesize_luminance(r, g, b)
+        mn, mx, _t, count, med, mad = stats_core(lum, False)
+        sh, mt = auto_stf_traced(mn, mx, med,
+                                 jnp.maximum(mad * 1.4826, 1e-30), count)
+        outs = [apply_stf_traced(c, mn, mx, sh, mt, as_u8=False)
+                for c in (r, g, b)]
+        return outs[0][0, 0] + outs[1][100, 100] + outs[2][-1, -1] + lum[5, 5]
+
+    return _device_time_ms(
+        lambda i: run(chans[0] + jnp.float32(i * 1e-6), chans[1], chans[2]),
+        K=4)
+
+
+def bench_sho_blend():
+    """SHO blend, 3×1600×1600 (ref 345 ms in-app, README:48)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.compose.channel_blend import blend_channels
+
+    rng = np.random.default_rng(6)
+    chans = [jnp.asarray(rng.normal(80, 9, (1600, 1600)).astype(np.float32))
+             for _ in range(3)]
+    jax.block_until_ready(chans)
+    weights = [
+        {"channel_idx": 0, "r_weight": 0.4, "g_weight": 0.6, "b_weight": 0.0},
+        {"channel_idx": 1, "r_weight": 0.6, "g_weight": 0.3, "b_weight": 0.1},
+        {"channel_idx": 2, "r_weight": 0.0, "g_weight": 0.1, "b_weight": 0.9},
+    ]
+
+    @jax.jit
+    def run(c0, c1, c2):
+        r, g, b = blend_channels([c0, c1, c2], weights)
+        return r[0, 0] + g[100, 100] + b[-1, -1]
+
+    return _device_time_ms(
+        lambda i: run(chans[0] + jnp.float32(i * 1e-6), chans[1], chans[2]))
+
+
+def bench_white_balance():
+    """Auto WB: per-channel robust stats → stability reference →
+    ORIG×factor apply, 4096²×3 (ref 45 ms, tex:619)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.ops.stats import stats_core
+
+    rng = np.random.default_rng(7)
+    chans = [jnp.asarray(
+        rng.normal(90 + 10 * i, 8, (4096, 4096)).astype(np.float32))
+        for i in range(3)]
+    jax.block_until_ready(chans)
+
+    @jax.jit
+    def run(c0, c1, c2):
+        meds = []
+        mads = []
+        for c in (c0, c1, c2):
+            _mn, _mx, _t, _n, med, mad = stats_core(c, False)
+            meds.append(med)
+            mads.append(mad)
+        meds = jnp.stack(meds)
+        mads = jnp.stack(mads)
+        stab = mads / jnp.maximum(meds, 1e-10)
+        ref = jnp.argmin(stab)
+        ref_med = jnp.maximum(meds[ref], 1e-10)
+        fac = ref_med / jnp.maximum(meds, 1e-10)
+        fac = fac.at[ref].set(1.0)
+        outs = [c0 * fac[0], c1 * fac[1], c2 * fac[2]]
+        return outs[0][0, 0] + outs[1][1, 1] + outs[2][2, 2] + fac.sum()
+
+    return _device_time_ms(
+        lambda i: run(chans[0] + jnp.float32(i * 1e-6), chans[1], chans[2]))
+
+
+def bench_affine_align(h=5655, w=2206, n_stars=90):
+    """Star-based affine channel alignment end-to-end: detect ×2 →
+    triangles → vote → RANSAC → shear warp (ref 0.8 s at 4096²/80
+    stars, tex:616; BASELINE config #3 runs it at 5655×2206).
+    Wall-clock including host stages and fetches."""
+    import math
+
+    jax, jnp = _jx()
+    from astroburst_tpu.alignment.affine import (align_channel_affine,
+                                                 warp_image)
+
+    base = _star_field(h, w, n_stars, seed=8, amp=5000.0)
+    th = math.radians(0.4)
+    ct, st = math.cos(th), math.sin(th)
+    cy, cx = h / 2.0, w / 2.0
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sx = ct * (xx - cx) - st * (yy - cy) + cx + 3.2
+    sy = st * (xx - cx) + ct * (yy - cy) + cy - 2.1
+    xi = np.clip(sx.astype(np.int32), 0, w - 1)
+    yi = np.clip(sy.astype(np.int32), 0, h - 1)
+    target = base[yi, xi] + np.random.default_rng(9).normal(
+        0, 1.5, (h, w)).astype(np.float32)
+
+    ref_d = jnp.asarray(base)
+    tgt_d = jnp.asarray(target)
+    jax.block_until_ready((ref_d, tgt_d))
+
+    def run():
+        res = align_channel_affine(ref_d, tgt_d)
+        warped = warp_image(tgt_d, res.transform, h, w)
+        warped.block_until_ready()
+        return res
+
+    res = run()  # compile
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        best = min(best, time.perf_counter() - t0)
+    rot = res.transform.rotation_deg()
+    ok = res.method in ("affine", "rigid") and abs(rot - 0.4) < 0.1
+    return best * 1e3, res.method, ok
+
+
+def bench_drizzle():
+    """Exact-parity drizzle, 10×4096² → 2×, 5 clip iterations
+    (ref 4.2 s, tex:614)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.stacking.drizzle import _drizzle_kernel_exact
+
+    rng = np.random.default_rng(10)
+    stack = jnp.asarray(rng.normal(100, 8, (10, 4096, 4096))
+                        .astype(np.float32))
+    d_ys = jnp.asarray(rng.uniform(-2, 2, 10), jnp.float32)
+    d_xs = jnp.asarray(rng.uniform(-2, 2, 10), jnp.float32)
+    stack.block_until_ready()
+
+    def call(i):
+        img, wgt, rej = _drizzle_kernel_exact(
+            stack + jnp.float32(i * 1e-6), d_ys, d_xs, 2.0, 0.7,
+            DrizzleKernel.SQUARE, 8192, 8192, 3.0, 3.0, 5,
+            band_rows=128)
+        return img[0, 0] + img[-1, -1] + wgt[100, 100] + \
+            rej.astype(jnp.float32)
+
+    return _device_time_ms(call, K=2, trials=2)
+
+
+def bench_rl_deconv():
+    """Richardson-Lucy 20 iterations, 2048², 15×15 PSF (no published
+    reference row; r2 measured 554 ms — the rfft2 packing target is
+    ≤200 ms)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.analysis.deconvolution import (
+        _psf_spectrum, _rl_kernel, generate_gaussian_psf)
+    from astroburst_tpu.ops import fft as F
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.normal(100, 10, (2048, 2048)).astype(np.float32))
+    img.block_until_ready()
+    psf = generate_gaussian_psf(15, 2.0)
+    fr = F.next_power_of_two(2048 + 14)
+    kr, ki = _psf_spectrum(psf, fr, fr)
+
+    def call(i):
+        est, iters, conv = _rl_kernel(
+            img + jnp.float32(i * 1e-6), kr, ki, jnp.float32(0.0),
+            jnp.float32(0.1), fr, 20, False)
+        return est[0, 0] + est[-1, -1] + conv
+
+    return _device_time_ms(call, K=3)
+
+
+def bench_fits_rgb_export():
+    """FITS RGB export, 618 MB (ref 617 ms in-app, README:116) —
+    host-side encode+write of three f32 planes."""
+    import os
+    import tempfile
+
+    from astroburst_tpu.io.fits_writer import write_fits_rgb
+
+    side = 7180  # 3 × 7180² × 4 B ≈ 618 MB
+    rng = np.random.default_rng(12)
+    r = rng.normal(100, 10, (side, side)).astype(np.float32)
+    g = r * 0.9
+    b = r * 1.1
+    d = tempfile.mkdtemp(prefix="bench_export_")
+    p = os.path.join(d, "rgb.fits")
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        write_fits_rgb(p, r, g, b, None, bitpix=-32)
+        best = min(best, time.perf_counter() - t0)
+    sz = os.path.getsize(p) / 1e6
+    os.unlink(p)
+    os.rmdir(d)
+    return best * 1e3, sz
+
+
+def run_all():
+    ops = {}
+
+    log("ops: hist+auto-STF 4096² …")
+    ops["hist_autostf_4096"] = {
+        "ms": round(bench_hist_autostf(), 2), "ref_ms": 35.0}
+    log(f"  {ops['hist_autostf_4096']}")
+
+    log("ops: star detection 4096² (~3000 stars) …")
+    ms, n = bench_star_detection(4096, 4096, 3000, seed=2)
+    ops["star_detect_4096"] = {"ms": round(ms, 1), "ref_ms": 80.0,
+                               "stars": n}
+    log(f"  {ops['star_detect_4096']}")
+
+    log("ops: star detection 5655×2206 (200 stars) …")
+    ms, n = bench_star_detection(5655, 2206, 200, seed=3)
+    ops["star_detect_5655"] = {"ms": round(ms, 1), "ref_ms": 97.0,
+                               "stars": n}
+    log(f"  {ops['star_detect_5655']}")
+
+    log("ops: masked stretch ×10 4096² …")
+    ops["masked_stretch_4096_x10"] = {
+        "ms": round(bench_masked_stretch(), 1), "ref_ms": 1200.0}
+    log(f"  {ops['masked_stretch_4096_x10']}")
+
+    log("ops: tone curves 5655×2206×3 …")
+    ops["tone_curves_5655x3"] = {
+        "ms": round(bench_tone_curves(), 2), "ref_ms": 2425.0}
+    log(f"  {ops['tone_curves_5655x3']}")
+
+    log("ops: blend + linked STF + lum 4096²×3 …")
+    ops["blend_stf_lum_4096x3"] = {
+        "ms": round(bench_blend_stf_lum(), 2), "ref_ms": 400.0}
+    log(f"  {ops['blend_stf_lum_4096x3']}")
+
+    log("ops: SHO blend 1600²×3 …")
+    ops["sho_blend_1600x3"] = {
+        "ms": round(bench_sho_blend(), 2), "ref_ms": 345.0}
+    log(f"  {ops['sho_blend_1600x3']}")
+
+    log("ops: white balance 4096²×3 …")
+    ops["white_balance_4096x3"] = {
+        "ms": round(bench_white_balance(), 2), "ref_ms": 45.0}
+    log(f"  {ops['white_balance_4096x3']}")
+
+    log("ops: affine channel alignment 5655×2206 …")
+    ms, method, ok = bench_affine_align()
+    ops["affine_align_5655"] = {"ms": round(ms, 1), "ref_ms": 800.0,
+                                "method": method, "recovered": ok}
+    log(f"  {ops['affine_align_5655']}")
+
+    log("ops: drizzle 10×4096² 2× …")
+    ops["drizzle_10x4096_2x"] = {
+        "ms": round(bench_drizzle(), 0), "ref_ms": 4200.0}
+    log(f"  {ops['drizzle_10x4096_2x']}")
+
+    log("ops: RL deconvolution 2048²×20 …")
+    ops["rl_deconv_2048_x20"] = {
+        "ms": round(bench_rl_deconv(), 1), "ref_ms": None,
+        "r2_ms": 554.0}
+    log(f"  {ops['rl_deconv_2048_x20']}")
+
+    log("ops: FITS RGB export 618 MB …")
+    ms, mb = bench_fits_rgb_export()
+    ops["fits_rgb_export_618mb"] = {"ms": round(ms, 0), "ref_ms": 617.0,
+                                    "mb": round(mb, 0)}
+    log(f"  {ops['fits_rgb_export_618mb']}")
+
+    return ops
+
+
+if __name__ == "__main__":
+    import json
+
+    ops = run_all()
+    print(json.dumps({"ops": ops}))

@@ -202,3 +202,28 @@ def test_drizzle_preaverage_delta_quantified(rng):
     # this pins the APPROXIMATION quality so regressions are visible
     assert np.median(rel) < 0.02, np.median(rel)
     assert rel.max() < 0.25, rel.max()
+
+
+def test_drizzle_pallas_finalize_matches_xla(rng):
+    """The register-resident Pallas finalize (interpret mode on CPU)
+    == the XLA exact path, including the weights and rejection maps."""
+    frames = [rng.normal(10, 1, (14, 20)).astype(np.float32)
+              for _ in range(3)]
+    frames[1][7, 9] = 300.0
+    offs = [(0.0, 0.0), (0.4, -0.25), (-0.3, 0.6)]
+    import math
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.stacking.drizzle import _drizzle_kernel_exact
+    stack = jnp.stack([jnp.asarray(f) for f in frames])
+    d_xs = jnp.asarray([-o[0] for o in offs], jnp.float32)
+    d_ys = jnp.asarray([-o[1] for o in offs], jnp.float32)
+    args = (stack, d_ys, d_xs, 2.0, 1.0, DrizzleKernel.SQUARE,
+            28, 40, 3.0, 3.0, 3)
+    ri, rw, rr = _drizzle_kernel_exact(*args, band_rows=8,
+                                       use_pallas=False)
+    gi, gw, gr = _drizzle_kernel_exact(*args, band_rows=8,
+                                       use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                               atol=2e-4, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
+    assert int(gr) == int(rr)
