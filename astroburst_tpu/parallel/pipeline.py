@@ -83,9 +83,15 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
                                               sigma_high, max_iter,
                                               interpret=interpret)
     elif use_pallas:
+        # frame 0 is aligned to itself (offset exactly zero by
+        # construction; all frames when align=False) — static
+        # zero_frames compiles the raw-pixel identity path in and
+        # drops the per-frame runtime select (~2 ms/run at 16 frames)
+        zf = (0,) if (align and n > 1) else tuple(range(n))
         combined, rejected = shift_clip_onepass(
             stack, dys, dxs, sigma_low, sigma_high, max_iter,
-            off_max=off_max, true_shape=true_shape, interpret=interpret)
+            off_max=off_max, true_shape=true_shape, interpret=interpret,
+            zero_frames=zf)
     else:
         full = jax.vmap(shift_bicubic)(view, dys, dxs)
         combined, rejected = sigma_clip_core(full, sigma_low, sigma_high,
@@ -108,7 +114,7 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
 def _halo_clip_local(slab, dys, dxs, ax_names, n_sh: int, local_h: int,
                      h: int, halo: int, sigma_low: float,
                      sigma_high: float, max_iter: int, off_max: int,
-                     interpret: bool):
+                     interpret: bool, zero_frames: tuple | None = None):
     """Per-shard body shared by the reshard variants: ppermute halo
     exchange (edge replicas at the global boundaries), then the
     one-pass Pallas shift+clip on the extended slab."""
@@ -129,7 +135,8 @@ def _halo_clip_local(slab, dys, dxs, ax_names, n_sh: int, local_h: int,
     grow0 = (idx * local_h).astype(jnp.int32)
     combined, rejected = shift_clip_onepass_slab(
         ext, dys, dxs, halo, grow0, h, sigma_low, sigma_high,
-        max_iter, off_max=off_max, interpret=interpret)
+        max_iter, off_max=off_max, interpret=interpret,
+        zero_frames=zero_frames)
     return combined, jax.lax.psum(rejected, ax_names)
 
 
@@ -137,7 +144,8 @@ def sharded_shift_clip_a2a(mesh: Mesh, stack: jax.Array, dys: jax.Array,
                            dxs: jax.Array, frames_axis: str,
                            rows_axis: str, sigma_low: float,
                            sigma_high: float, max_iter: int,
-                           off_max: int = 16, interpret: bool = False):
+                           off_max: int = 16, interpret: bool = False,
+                           zero_frames: tuple | None = None):
     """Row-sharded one-pass shift+clip taking a FRAMES-sharded stack,
     with the frames→rows reshard done as one explicit ``all_to_all``
     over the frames mesh axis (VERDICT r2 weak #2: the implicit
@@ -189,7 +197,7 @@ def sharded_shift_clip_a2a(mesh: Mesh, stack: jax.Array, dys: jax.Array,
         slab = x.reshape(n, local_h, w)
         return _halo_clip_local(slab, dys, dxs, ax_names, n_sh, local_h,
                                 h, halo, sigma_low, sigma_high, max_iter,
-                                off_max, interpret)
+                                off_max, interpret, zero_frames)
 
     combined, rejected = shard_map(
         local_fn, mesh=mesh,
@@ -236,7 +244,8 @@ def reshard_frames_to_rows(mesh: Mesh, x: jax.Array, frames_axis: str,
 def sharded_shift_clip(mesh: Mesh, stack: jax.Array, dys: jax.Array,
                        dxs: jax.Array, row_axes, sigma_low: float,
                        sigma_high: float, max_iter: int,
-                       off_max: int = 16, interpret: bool = False):
+                       off_max: int = 16, interpret: bool = False,
+                       zero_frames: tuple | None = None):
     """Row-sharded one-pass Pallas shift+clip via shard_map.
 
     Each shard holds a horizontal band of every frame; ``off_max + 2``
@@ -271,7 +280,7 @@ def sharded_shift_clip(mesh: Mesh, stack: jax.Array, dys: jax.Array,
     def local_fn(slab, dys, dxs):
         return _halo_clip_local(slab, dys, dxs, ax_names, n_sh, local_h,
                                 h, halo, sigma_low, sigma_high, max_iter,
-                                off_max, interpret)
+                                off_max, interpret, zero_frames)
 
     combined, rejected = shard_map(
         local_fn, mesh=mesh,
@@ -341,12 +350,16 @@ def make_sharded_stack_step(mesh: Mesh, sigma_low: float = 3.0,
                 combined, rejected = sharded_shift_clip_a2a(
                     mesh, stack, dys, dxs, "frames", "rows", sigma_low,
                     sigma_high, max_iter, off_max=off_max,
-                    interpret=interpret)
+                    interpret=interpret,
+                    zero_frames=(0,) if align and n > 1
+                    else tuple(range(n)))
             else:
                 combined, rejected = sharded_shift_clip(
                     mesh, stack, dys, dxs, all_axes, sigma_low,
                     sigma_high, max_iter, off_max=off_max,
-                    interpret=interpret)
+                    interpret=interpret,
+                    zero_frames=(0,) if align and n > 1
+                    else tuple(range(n)))
         else:
             full = jax.vmap(shift_bicubic)(stack, dys, dxs)
             # reshard: frame-parallel → row-parallel for the reduction

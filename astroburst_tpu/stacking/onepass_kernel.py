@@ -71,7 +71,8 @@ def window_dims(block_h: int, block_w: int, off_max: int):
 def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                  sigma_low: float, sigma_high: float, max_iter: int,
                  block_h: int, block_w: int, grid_w: int, off_max: int,
-                 out_off: int = 0, gh: int | None = None):
+                 out_off: int = 0, gh: int | None = None,
+                 zero_frames: tuple | None = None):
     """out_off/gh support the row-sharded slab mode (parallel/pipeline):
     the stack is a slab of ``h`` rows whose output region starts at slab
     row ``out_off``; the outside-source zero mask uses GLOBAL image
@@ -164,16 +165,36 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
             tc = jnp.where(icol + sc < 0, left, tc)
             tc = jnp.where(icol + sc > w - 1, right, tc)
 
-            wy = _cr_weights(frac_ref[k, 0])
-            wx = _cr_weights(frac_ref[k, 1])
-            tmp = None
-            for j in range(4):
-                term = wy[j] * tc[j:j + block_h, :]
-                tmp = term if tmp is None else tmp + term
-            out = None
-            for j in range(4):
-                term = wx[j] * tmp[:, j:j + block_w]
-                out = term if out is None else out + term
+            # true zero shift returns raw pixels (align.rs:37-39) — the
+            # zero-weight taps would otherwise bleed NaN around dead
+            # pixels on the reference frame. With a STATIC zero_frames
+            # list (the pipeline aligns to frame 0, so k=0 is zero by
+            # construction; align=False makes every frame zero) the
+            # whole CR tap stack and the per-frame runtime select
+            # compile away — the r2 parity select cost ~2 ms/run
+            # across 16 frames. zero_frames=None keeps the runtime
+            # select for arbitrary offsets.
+            if zero_frames is not None and k in zero_frames:
+                picked = tc[1:1 + block_h, 1:1 + block_w]
+            else:
+                wy = _cr_weights(frac_ref[k, 0])
+                wx = _cr_weights(frac_ref[k, 1])
+                tmp = None
+                for j in range(4):
+                    term = wy[j] * tc[j:j + block_h, :]
+                    tmp = term if tmp is None else tmp + term
+                out = None
+                for j in range(4):
+                    term = wx[j] * tmp[:, j:j + block_w]
+                    out = term if out is None else out + term
+                if zero_frames is None:
+                    zero_k = ((shift_ref[k, 0] == 0) &
+                              (shift_ref[k, 1] == 0) &
+                              (frac_ref[k, 0] == 0.0) &
+                              (frac_ref[k, 1] == 0.0))
+                    center = tc[1:1 + block_h, 1:1 + block_w]
+                    out = jnp.where(zero_k, center, out)
+                picked = out
             # outside-source pixels are exactly 0 (align.rs:48-51)
             dy = shift_ref[k, 0].astype(jnp.float32) + frac_ref[k, 0]
             dx = shift_ref[k, 1].astype(jnp.float32) + frac_ref[k, 1]
@@ -181,13 +202,6 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
             sx = xx + colf + dx
             inside = ((sy >= -0.5) & (sy <= gh - 0.5) & (sx >= -0.5) &
                       (sx <= w - 0.5))
-            # true zero shift returns raw pixels (align.rs:37-39) — the
-            # zero-weight taps would otherwise bleed NaN around dead
-            # pixels on the reference frame
-            zero_k = ((shift_ref[k, 0] == 0) & (shift_ref[k, 1] == 0) &
-                      (frac_ref[k, 0] == 0.0) & (frac_ref[k, 1] == 0.0))
-            center = tc[1:1 + block_h, 1:1 + block_w]
-            picked = jnp.where(zero_k, center, out)
             vals.append(jnp.where(inside, picked, 0.0))
 
         combined, rejected = _clip_body(vals, sigma_low, sigma_high,
@@ -201,7 +215,7 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
 @partial(jax.jit,
          static_argnames=("h", "w", "sigma_low", "sigma_high", "max_iter",
                           "off_max", "interpret", "block_h", "block_w",
-                          "out_off", "out_h", "gh"))
+                          "out_off", "out_h", "gh", "zero_frames"))
 def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
                                dxs: jax.Array, h: int, w: int,
                                sigma_low: float, sigma_high: float,
@@ -210,7 +224,8 @@ def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
                                block_w: int, out_off: int = 0,
                                out_h: int | None = None,
                                gh: int | None = None,
-                               grow0: jax.Array | None = None):
+                               grow0: jax.Array | None = None,
+                               zero_frames: tuple | None = None):
     n, hp, wp = stack.shape
     f_r, f_c = window_dims(block_h, block_w, off_max)
     if hp % 8 or wp % 128 or hp < f_r or wp < f_c:
@@ -237,7 +252,7 @@ def _shift_clip_onepass_padded(stack: jax.Array, dys: jax.Array,
     grid = (pl.cdiv(out_h, block_h), pl.cdiv(w, block_w))
     kernel = _make_kernel(n, h, w, hp, wp, sigma_low, sigma_high,
                           max_iter, block_h, block_w, grid[1], off_max,
-                          out_off=out_off, gh=gh)
+                          out_off=out_off, gh=gh, zero_frames=zero_frames)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -285,7 +300,8 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
                        max_iter: int = 5, off_max: int = OFF_MAX,
                        true_shape: tuple | None = None,
                        interpret: bool = False, block_h: int = BLOCK_H,
-                       block_w: int = BLOCK_W):
+                       block_w: int = BLOCK_W,
+                       zero_frames: tuple | None = None):
     """Shift each frame by (dys[k], dxs[k]) bicubically, then sigma-clip
     combine, in ONE pass over the stack. Returns (combined [h, w],
     rejected scalar i32).
@@ -308,7 +324,8 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
         block_w //= 2
     return _shift_clip_onepass_padded(stack, dys, dxs, h, w, sigma_low,
                                       sigma_high, max_iter, off_max,
-                                      interpret, block_h, block_w)
+                                      interpret, block_h, block_w,
+                                      zero_frames=zero_frames)
 
 
 def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,
@@ -318,7 +335,8 @@ def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,
                             off_max: int = OFF_MAX,
                             interpret: bool = False,
                             block_h: int = BLOCK_H,
-                            block_w: int = BLOCK_W):
+                            block_w: int = BLOCK_W,
+                            zero_frames: tuple | None = None):
     """Row-sharded slab variant for use inside ``shard_map``.
 
     ``slab`` is [N, local_h + 2·halo, W]: the shard's output rows plus
@@ -344,4 +362,4 @@ def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,
     return _shift_clip_onepass_padded(
         padded, dys, dxs, slab_h, w, sigma_low, sigma_high, max_iter,
         off_max, interpret, block_h, block_w, out_off=halo, out_h=out_h,
-        gh=gh, grow0=grow0)
+        gh=gh, grow0=grow0, zero_frames=zero_frames)

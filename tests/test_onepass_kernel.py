@@ -182,3 +182,28 @@ def test_zero_shift_preserves_raw_pixels(rng):
     np.testing.assert_array_equal(np.isnan(sb), np.isnan(s[0]))
     m = ~np.isnan(s[0])
     np.testing.assert_array_equal(sb[m], s[0][m])
+
+
+def test_zero_frames_static_path_matches_runtime_select(rng):
+    """The compile-time zero_frames identity path (pipeline passes (0,)
+    for the self-aligned reference frame) == the runtime zero-shift
+    select, including NaN dead-pixel non-bleed (align.rs:37-39)."""
+    from astroburst_tpu.stacking.onepass_kernel import shift_clip_onepass
+
+    stack = rng.normal(100, 5, (4, 96, 130)).astype(np.float32)
+    stack[0, 10, 10] = np.nan
+    stack[2, 50, 60] = np.nan
+    dys = jnp.asarray([0.0, 1.3, -2.7, 0.4], jnp.float32)
+    dxs = jnp.asarray([0.0, -0.6, 2.2, -1.1], jnp.float32)
+    a = shift_clip_onepass(jnp.asarray(stack), dys, dxs, 3.0, 3.0, 3,
+                           interpret=True)
+    b = shift_clip_onepass(jnp.asarray(stack), dys, dxs, 3.0, 3.0, 3,
+                           interpret=True, zero_frames=(0,))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(a[1]) == int(b[1])
+    z = jnp.zeros(4, jnp.float32)
+    c = shift_clip_onepass(jnp.asarray(stack), z, z, 3.0, 3.0, 3,
+                           interpret=True)
+    d = shift_clip_onepass(jnp.asarray(stack), z, z, 3.0, 3.0, 3,
+                           interpret=True, zero_frames=(0, 1, 2, 3))
+    np.testing.assert_array_equal(np.asarray(c[0]), np.asarray(d[0]))
