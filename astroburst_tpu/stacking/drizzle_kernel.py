@@ -109,10 +109,13 @@ def _make_finalize_kernel(m: int, cap: int, sigma_low: float,
                           + jnp.where(r2 == k, arr[k], 0.0)
             return jnp.where(cnt > 0, acc * 0.5, 0.0)
 
-        lo = jnp.zeros((bh, bw), jnp.int32)
-        hi = count0
-        stopped = zero  # f32 0/1 (no stored i1 vectors)
-        for _ in range(iterations):
+        # clip iterations as a fori_loop over the (lo, hi, stopped)
+        # carry — the sorted sv tiles are loop closure constants, so
+        # the ~900-op body is emitted ONCE instead of ×iterations
+        # (the fully unrolled form was a ~15k-op Mosaic function whose
+        # remote compile never returned)
+        def clip_iter(_, carry):
+            lo, hi, stopped = carry
             cnt = hi - lo
             med = rank2(sv, lo + jnp.maximum((cnt - 1) // 2, 0),
                         lo + jnp.maximum(cnt // 2, 0), cnt)
@@ -137,6 +140,11 @@ def _make_finalize_kernel(m: int, cap: int, sigma_low: float,
             lo = jnp.where(active, lo + cut_lo, lo)
             hi = jnp.where(active, hi - cut_hi, hi)
             stopped = jnp.where(active & (removed == 0), 1.0, stopped)
+            return lo, hi, stopped
+
+        lo, hi, stopped = jax.lax.fori_loop(
+            0, iterations, clip_iter,
+            (jnp.zeros((bh, bw), jnp.int32), count0, zero))
 
         final_cnt = hi - lo
         kept_sum = zero
