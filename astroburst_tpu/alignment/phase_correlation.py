@@ -289,6 +289,56 @@ def _phase_correlate_traced(ref, tgt):
             jnp.where(bad, zero, rconf))
 
 
+@jax.jit
+def phase_correlate_stack_traced(ref, targets):
+    """Coarse-to-fine phase correlation of a [N, H, W] target stack
+    against one reference, with the refine crops taken as per-frame 3D
+    ``dynamic_slice``s of the stack (scalar start indices).
+
+    The per-frame vmap form lowers its 2D dynamic_slice to an XLA
+    GATHER — measured 4.3 ms of the 5.9 ms refine at 15×16 Mpx on v5e,
+    ~80× the crops' memory cost. Everything else (coarse box matmuls,
+    512² FFT correlations) batches cleanly, so only the crop step is
+    unrolled. Returns (dys [N], dxs [N], confidences [N]).
+    """
+    n, rows, cols = targets.shape
+    if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
+        dy, dx, conf = correlate_single(ref, targets)
+        bad = _is_constant_or_zero(ref) | _is_constant_or_zero(targets)
+        zero = jnp.zeros_like(dy)
+        return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
+                jnp.where(bad, zero, conf))
+
+    ref_ds, by, bx = _coarse_box_downsample(ref, COARSE_MAX_DIM)
+    tgt_ds, _, _ = _coarse_box_downsample(targets, COARSE_MAX_DIM)
+    cdy, cdx, _ = correlate_single(ref_ds, tgt_ds)
+
+    ref_cy = rows // 2
+    ref_cx = cols // 2
+    tgt_cy = jnp.clip(jnp.round(ref_cy + cdy * by), 0,
+                      rows - 1).astype(jnp.int32)
+    tgt_cx = jnp.clip(jnp.round(ref_cx + cdx * bx), 0,
+                      cols - 1).astype(jnp.int32)
+    tgt_y0, tgt_x0 = _refine_origin(tgt_cy, tgt_cx, rows, cols,
+                                    REFINE_CROP_SIZE)
+    s_r = min(REFINE_CROP_SIZE, rows)
+    s_c = min(REFINE_CROP_SIZE, cols)
+    crops = jnp.concatenate([
+        jax.lax.dynamic_slice(targets, (jnp.int32(k), tgt_y0[k],
+                                        tgt_x0[k]), (1, s_r, s_c))
+        for k in range(n)])
+    ref_crop = _centered_crop_static(ref, REFINE_CROP_SIZE)
+    ref_y0, ref_x0 = _crop_origin_static(rows, cols, REFINE_CROP_SIZE)
+    rdy, rdx, rconf = correlate_single(ref_crop, crops)
+    dy = (tgt_y0 - ref_y0).astype(jnp.float32) + rdy
+    dx = (tgt_x0 - ref_x0).astype(jnp.float32) + rdx
+
+    bad = _is_constant_or_zero(ref) | _is_constant_or_zero(targets)
+    zero = jnp.zeros_like(dy)
+    return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
+            jnp.where(bad, zero, rconf))
+
+
 def _refine_one(tgt, coarse_dy, coarse_dx, rows, cols):
     """Clamped dynamic refine crop + origin bookkeeping for one target."""
     ref_cy = rows // 2

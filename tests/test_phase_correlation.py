@@ -118,3 +118,26 @@ def test_phase_correlate_stack_odd_batch():
         assert float(dys[i]) == pytest.approx(sy, abs=0.3)
         assert float(dxs[i]) == pytest.approx(sx, abs=0.3)
         assert float(confs[i]) > 2.0
+
+
+def test_stack_pc_matches_per_frame(rng):
+    """phase_correlate_stack_traced (3D dynamic-slice crops, no
+    gathers) == the per-frame coarse-to-fine path."""
+    from astroburst_tpu.alignment.phase_correlation import (
+        _phase_correlate_traced, phase_correlate_stack_traced)
+
+    base = rng.normal(100, 5, (900, 700)).astype(np.float32)
+    yy, xx = np.mgrid[0:900, 0:700].astype(np.float32)
+    for sy, sx in [(220, 150), (600, 500), (420, 350)]:
+        base += 800.0 * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 8.0)
+    shifts = [(11, -7), (0, 0), (-15, 9)]
+    targets = np.stack([np.roll(base, s, axis=(0, 1)) for s in shifts])
+    dys, dxs, confs = phase_correlate_stack_traced(
+        jnp.asarray(base), jnp.asarray(targets))
+    for i, (sy, sx) in enumerate(shifts):
+        rdy, rdx, rc = _phase_correlate_traced(jnp.asarray(base),
+                                               jnp.asarray(targets[i]))
+        assert abs(float(dys[i]) - float(rdy)) < 1e-5
+        assert abs(float(dxs[i]) - float(rdx)) < 1e-5
+        assert abs(float(dys[i]) - sy) < 0.5
+        assert abs(float(dxs[i]) - sx) < 0.5
