@@ -50,13 +50,33 @@ def nearest_downsample(x: jax.Array, max_dim: int) -> jax.Array:
     return jnp.take(jnp.take(x, rows, axis=0), cols, axis=1)
 
 
-def encode_with_header_downsampled(x: jax.Array, max_dim: int) -> bytes:
+def encode_with_header_views(x: jax.Array, max_dim: int):
+    """(header bytes, pixel memoryview) — the pixel payload is a
+    zero-copy view of the fetched plane, mirroring the reference's
+    clean-path byte reinterpret (infra/ipc.rs:63-73). Scatter-gather
+    writers (writev, websocket fragments) send both without ever
+    copying the pixels; the single-buffer form below costs one copy.
+    """
     small = nearest_downsample(x, max_dim)
     clean, mn, mx = _scrub_and_scan(small)
-    arr = np.asarray(clean, dtype="<f4")
+    arr = np.ascontiguousarray(np.asarray(clean), dtype="<f4")
+    return frame_preview_host(arr, float(mn), float(mx))
+
+
+def frame_preview_host(arr: np.ndarray, mn: float, mx: float):
+    """Host-side framing of an already-fetched little-endian f32 plane:
+    16-byte header + zero-copy pixel view."""
     h, w = arr.shape
-    header = struct.pack("<IIff", w, h, float(mn), float(mx))
-    return header + arr.tobytes()
+    header = struct.pack("<IIff", w, h, mn, mx)
+    return header, memoryview(arr).cast("B")
+
+
+def encode_with_header_downsampled(x: jax.Array, max_dim: int) -> bytearray:
+    header, pixels = encode_with_header_views(x, max_dim)
+    out = bytearray(len(header) + len(pixels))
+    out[:16] = header
+    out[16:] = pixels  # ONE copy (the old header+tobytes form made two)
+    return out
 
 
 def decode_binary_pixels(data: bytes):
