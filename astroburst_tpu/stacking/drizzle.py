@@ -213,7 +213,8 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
                           sigma_high: float, sigma_iterations: int,
                           band_rows: int = 64,
                           use_pallas: bool | None = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          row0_offset=None):
     """Exact-parity drizzle: per-(frame, tap) candidate planes with the
     reference's capped push-list semantics, banded over output rows to
     bound the [n_frames·taps², rows, cols] candidate tensor.
@@ -260,6 +261,11 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
 
     n_bands = -(-out_rows // band_rows)
     r0s = jnp.arange(n_bands, dtype=jnp.float32) * band_rows
+    if row0_offset is not None:
+        # row-sharded mode (parallel/drizzle.py): this call computes
+        # output rows [row0_offset, row0_offset + out_rows) of the
+        # global grid
+        r0s = r0s + jnp.asarray(row0_offset, jnp.float32)
     img_b, wgt_b, rej_b = jax.lax.map(one_band, r0s)
     img = img_b.reshape(n_bands * band_rows, out_cols)[:out_rows]
     wgt = wgt_b.reshape(n_bands * band_rows, out_cols)[:out_rows]

@@ -313,3 +313,30 @@ def test_sharded_power_spectrum_matches_single(rng):
     got = sharded_power_spectrum(mesh, jnp.asarray(img), True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3)
+
+
+def test_sharded_drizzle_matches_single(rng):
+    """Row-sharded exact drizzle == the single-device kernel
+    (SURVEY §5 distributed mapping for the drizzle stage)."""
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.parallel.drizzle import sharded_drizzle
+    from astroburst_tpu.stacking.drizzle import _drizzle_kernel_exact
+
+    frames = [rng.normal(10, 1, (32, 36)).astype(np.float32)
+              for _ in range(4)]
+    frames[1][8, 9] = 500.0
+    stack = jnp.stack([jnp.asarray(f) for f in frames])
+    d_ys = jnp.asarray([0.0, 0.35, -0.6, 0.15], jnp.float32)
+    d_xs = jnp.asarray([0.0, -0.2, 0.45, 0.7], jnp.float32)
+    args = (2.0, 1.0, DrizzleKernel.SQUARE, 64, 72, 3.0, 3.0, 3)
+    ref_img, ref_wgt, ref_rej = _drizzle_kernel_exact(
+        stack, d_ys, d_xs, *args, band_rows=8, use_pallas=False)
+
+    mesh = make_mesh(8, ("rows",), (8,))
+    img, wgt, rej = sharded_drizzle(mesh, stack, d_ys, d_xs, *args,
+                                    band_rows=8, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(wgt), np.asarray(ref_wgt),
+                               atol=1e-5)
+    assert int(rej) == int(ref_rej)
