@@ -103,10 +103,16 @@ class AffineAlignResult:
 
 @jax.jit
 def _normalize_kernel(image: jax.Array):
-    flat = image.reshape(-1)
-    n = flat.shape[0]
-    step = max(n // 100_000, 1)
-    samples = flat[::step]
+    # sample ~100k values as whole ROWS via an index-vector take — the
+    # per-element strided slice (flat[::step]) is a giant-stride
+    # relayout that takes minutes to even compile at 12 Mpx on this
+    # backend (stride-slicing a tiled plane is banned; CLAUDE.md)
+    rows, cols = image.shape
+    n_rows = max(min(-(-100_000 // cols), rows), 1)
+    ridx = jnp.minimum(
+        (jnp.arange(n_rows) * (rows / n_rows)).astype(jnp.int32),
+        rows - 1)
+    samples = jnp.take(image, ridx, axis=0).reshape(-1)
     finite = jnp.isfinite(samples)
     cnt = jnp.sum(finite.astype(jnp.int32))
     svals = jnp.sort(jnp.where(finite, samples, jnp.inf))

@@ -98,7 +98,9 @@ def encode_be_f32_native(data: np.ndarray) -> Optional[bytes]:
     out = np.empty(flat.size * 4, np.uint8)
     lib.astro_encode_be_f32(flat.ctypes.data_as(ctypes.c_void_p),
                             out.ctypes.data_as(ctypes.c_void_p), flat.size)
-    return out.tobytes()
+    # return the buffer itself (bytes-like); .tobytes() was a second
+    # full copy of the payload on every FITS export
+    return out.data
 
 
 def encode_be_i16_native(data: np.ndarray, bzero: float,
@@ -111,7 +113,7 @@ def encode_be_i16_native(data: np.ndarray, bzero: float,
     lib.astro_encode_be_i16(flat.ctypes.data_as(ctypes.c_void_p),
                             out.ctypes.data_as(ctypes.c_void_p), flat.size,
                             float(bzero), float(bscale))
-    return out.tobytes()
+    return out.data
 
 
 def masked_scan_native(data: np.ndarray):

@@ -3,6 +3,7 @@ asserts, mirroring star_detection.rs:260-329."""
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from astroburst_tpu.analysis import detect_stars, estimate_background
 
@@ -95,3 +96,36 @@ def test_snr_positive_and_scaled():
     res = detect_stars(img, 5.0)
     s = res.stars[0]
     assert s.snr == pytest.approx(1000.0 / res.background_sigma, rel=0.15)
+
+
+def test_tile_sort_pallas_matches_numpy(rng):
+    """Per-tile VMEM bitonic sorter == numpy sort with the validity
+    masking (+inf tails) and counts."""
+    from astroburst_tpu.analysis.tile_sort_kernel import sort_tiles_pallas
+
+    x = rng.normal(100, 10, (32, 64)).astype(np.float32)
+    x[x < 88] = np.nan
+    x[0, :3] = 0.0  # below the 1e-7 padding threshold
+    got, cnt = sort_tiles_pallas(jnp.asarray(x), 32, interpret=True)
+    tiles = x.reshape(1, 32, 2, 32).transpose(0, 2, 1, 3).reshape(2, 1024)
+    valid = np.isfinite(tiles) & (tiles > 1e-7)
+    ref = np.sort(np.where(valid, tiles, np.inf), axis=1)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    np.testing.assert_array_equal(np.asarray(cnt), valid.sum(1))
+
+
+def test_background_pallas_path_matches_xla(rng):
+    """_estimate_background_kernel with the Pallas tile sorter ==
+    the XLA sort path."""
+    from astroburst_tpu.analysis.star_detection import (
+        _estimate_background_kernel)
+
+    img = rng.normal(50, 4, (70, 90)).astype(np.float32)
+    img[10:12, 20:24] = np.nan
+    img[40, 50] = 900.0
+    ref = _estimate_background_kernel(jnp.asarray(img), 32,
+                                      use_pallas=False)
+    got = _estimate_background_kernel(jnp.asarray(img), 32,
+                                      use_pallas=True, interpret=True)
+    assert float(got[0]) == pytest.approx(float(ref[0]), abs=1e-5)
+    assert float(got[1]) == pytest.approx(float(ref[1]), abs=1e-6)
