@@ -82,35 +82,32 @@ def _interval_median(sorted_rows, lo, hi):
 
 
 def _interval_mad(sorted_rows, lo, hi, med, data_range):
-    """Median absolute deviation of the interval via binary search on
-    the deviation radius (35 rounds ⇒ range·2⁻³⁵ resolution)."""
+    """EXACT median absolute deviation of sorted_rows[t, lo:hi] with
+    even-count averaging.
+
+    The deviation array |sorted − med| masked to the interval is
+    V-shaped (decreasing to the median position, then increasing, ±inf
+    extending both branches) — bitonic — so ONE log2(P)-round
+    elementwise merge sorts it and the two middle ranks read out with
+    take_along_axis. Replaces a 35-round binary search on the
+    deviation radius whose ~420 vmapped searchsorted micro-ops were
+    ~25 ms of the detection at 12 Mpx (and was approximate to
+    range·2⁻³⁵)."""
+    from astroburst_tpu.ops.sort_network import (bitonic_merge_last,
+                                                 pad_pow2_inf_last)
+
     cnt = hi - lo
+    p = sorted_rows.shape[1]
+    iota = jnp.arange(p)[None, :]
+    window = (iota >= lo[:, None]) & (iota < hi[:, None])
+    dv = jnp.where(window, jnp.abs(sorted_rows - med[:, None]), jnp.inf)
+    dv = bitonic_merge_last(pad_pow2_inf_last(dv))
     n = jnp.maximum(cnt, 1)
-    # target ranks (0-based) for the two middles of the deviation set
     k1 = (n - 1) // 2
     k2 = n // 2
-
-    def count_within(r):
-        a = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))(
-            sorted_rows, med - r)
-        b = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="right"))(
-            sorted_rows, med + r)
-        return jnp.minimum(b, hi) - jnp.maximum(a, lo)
-
-    def solve(k):
-        def step(_, carry):
-            lo_r, hi_r = carry
-            mid = (lo_r + hi_r) * 0.5
-            c = count_within(mid)
-            ok = c >= (k + 1)
-            return (jnp.where(ok, lo_r, mid), jnp.where(ok, mid, hi_r))
-
-        lo_r, hi_r = jax.lax.fori_loop(
-            0, 35, step,
-            (jnp.zeros_like(med), jnp.broadcast_to(data_range, med.shape)))
-        return hi_r
-
-    return jnp.where(cnt > 0, (solve(k1) + solve(k2)) * 0.5, 0.0)
+    v1 = jnp.take_along_axis(dv, k1[:, None], axis=1)[:, 0]
+    v2 = jnp.take_along_axis(dv, k2[:, None], axis=1)[:, 0]
+    return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0)
 
 
 def _tile_sigma_clipped(sorted_rows, valid_counts, data_range,
@@ -125,12 +122,14 @@ def _tile_sigma_clipped(sorted_rows, valid_counts, data_range,
         med = _interval_median(sorted_rows, lo, hi)
         mad = _interval_mad(sorted_rows, lo, hi, med, data_range)
         sig = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
-        new_lo = jax.vmap(lambda row, v: jnp.searchsorted(row, v, "left"))(
-            sorted_rows, (med - kappa * sig).astype(jnp.float32))
-        new_hi = jax.vmap(lambda row, v: jnp.searchsorted(row, v, "right"))(
-            sorted_rows, (med + kappa * sig).astype(jnp.float32))
-        lo = jnp.where(active, jnp.maximum(new_lo.astype(jnp.int32), lo), lo)
-        hi = jnp.where(active, jnp.minimum(new_hi.astype(jnp.int32), hi), hi)
+        # rank of the clip bounds by compare-count (== searchsorted
+        # left/right on the sorted rows, as two fused reductions)
+        vlo = (med - kappa * sig).astype(jnp.float32)[:, None]
+        vhi = (med + kappa * sig).astype(jnp.float32)[:, None]
+        new_lo = jnp.sum((sorted_rows < vlo).astype(jnp.int32), axis=1)
+        new_hi = jnp.sum((sorted_rows <= vhi).astype(jnp.int32), axis=1)
+        lo = jnp.where(active, jnp.maximum(new_lo, lo), lo)
+        hi = jnp.where(active, jnp.minimum(new_hi, hi), hi)
     empty = hi <= lo
     med = _interval_median(sorted_rows, lo, hi)
     mad = _interval_mad(sorted_rows, lo, hi, med, data_range)

@@ -46,10 +46,9 @@ def _make_tile_sort_kernel(step: int):
     k_lane = step.bit_length() - 1  # lane bits (minor axis)
     total_bits = 2 * k_lane
 
-    def kernel(plane_ref, out_ref, cnt_ref):
+    def kernel(plane_ref, out_ref):
         x = plane_ref[...]
         valid = jnp.isfinite(x) & (x > PADDING_THRESHOLD)
-        cnt_ref[0, 0] = jnp.sum(valid.astype(jnp.int32))
         x = jnp.where(valid, x, jnp.inf)
         idx_r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         idx_c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -69,7 +68,7 @@ def _make_tile_sort_kernel(step: int):
                 ascending = (gidx & block) == 0
                 low_half = (gidx & stride) == 0
                 x = jnp.where(ascending == low_half, mn, mx)
-        out_ref[...] = x[None]
+        out_ref[...] = x[None, None]
 
     return kernel
 
@@ -85,18 +84,18 @@ def sort_tiles_pallas(padded: jax.Array, step: int,
         raise ValueError(f"step {step} must be pow2 dividing {rows}x{cols}")
     ty, tx = rows // step, cols // step
     kernel = _make_tile_sort_kernel(step)
-    out, cnt = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(ty, tx),
         in_specs=[pl.BlockSpec((step, step), lambda i, j: (i, j))],
-        out_specs=[
-            pl.BlockSpec((1, step, step), lambda i, j: (i * tx + j, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i, j: (i * tx + j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ty * tx, step, step), jnp.float32),
-            jax.ShapeDtypeStruct((ty * tx, 1), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((1, 1, step, step),
+                               lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((ty, tx, step, step), jnp.float32),
         interpret=interpret,
     )(padded)
-    return out.reshape(ty * tx, step * step), cnt[:, 0]
+    # per-tile valid counts as a cheap XLA block reduction (a scalar
+    # per-tile kernel output violates TPU block tiling)
+    valid = jnp.isfinite(padded) & (padded > PADDING_THRESHOLD)
+    cnt = valid.reshape(ty, step, tx, step).sum(axis=(1, 3),
+                                                dtype=jnp.int32)
+    return out.reshape(ty * tx, step * step), cnt.reshape(ty * tx)

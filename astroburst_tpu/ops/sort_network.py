@@ -67,6 +67,35 @@ def bitonic_merge_axis0(x):
     return x
 
 
+def pad_pow2_inf_last(x):
+    """Pad the LAST axis to the next power of two with +inf."""
+    m = x.shape[-1]
+    m2 = 1 << (m - 1).bit_length()
+    if m2 == m:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m2 - m)]
+    return jnp.pad(x, pad, constant_values=jnp.inf)
+
+
+def bitonic_merge_last(x):
+    """Sort a BITONIC sequence along the LAST axis, ascending
+    (log2(m) rounds; m must be a power of two — use
+    :func:`pad_pow2_inf_last`)."""
+    m = x.shape[-1]
+    assert m & (m - 1) == 0, "last axis must be a power of two"
+    lead = x.shape[:-1]
+    stride = m // 2
+    while stride >= 1:
+        xr = x.reshape(lead + (m // (2 * stride), 2, stride))
+        p = xr[..., ::-1, :].reshape(lead + (m,))
+        mn = jnp.minimum(x, p)
+        mx = jnp.maximum(x, p)
+        take_min = (jnp.arange(m) & stride) == 0
+        x = jnp.where(take_min, mn, mx)
+        stride //= 2
+    return x
+
+
 def bitonic_sort_axis0(x):
     """Full bitonic sort along axis 0, ascending. Axis length must be
     a power of two (use :func:`pad_pow2_inf`)."""
