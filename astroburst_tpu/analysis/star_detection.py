@@ -81,32 +81,68 @@ def _interval_median(sorted_rows, lo, hi):
     return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0)
 
 
+def _sel_deviation_rank(sorted_rows, med, lo, split, hi, k):
+    """Exact 0-based rank-k element of the deviation multiset
+    {|sorted_rows[t, i] − med[t]| : lo ≤ i < hi}.
+
+    The deviations form TWO ascending runs — A[i] = med − row[split−1−i]
+    (values below med, walking down) and B[j] = row[split+j] − med — so
+    the k-th smallest comes from the textbook two-sorted-arrays
+    partition search: 18 rounds of four per-tile gathers, no
+    full-width tensor ops at all."""
+    p = sorted_rows.shape[1]
+    la = split - lo
+    lb = hi - split
+    m = k + 1
+
+    def row_at(idx):
+        idx = jnp.clip(idx, 0, p - 1)
+        return jnp.take_along_axis(sorted_rows, idx[:, None],
+                                   axis=1)[:, 0]
+
+    def get_a(i):
+        v = med - row_at(split - 1 - i)
+        return jnp.where(i < 0, -jnp.inf, jnp.where(i >= la, jnp.inf, v))
+
+    def get_b(j):
+        v = row_at(split + j) - med
+        return jnp.where(j < 0, -jnp.inf, jnp.where(j >= lb, jnp.inf, v))
+
+    a_lo = jnp.maximum(m - lb, 0)
+    a_hi = jnp.minimum(m, la)
+
+    def body(_, carry):
+        a_lo, a_hi = carry
+        a = (a_lo + a_hi) // 2
+        too_many = get_a(a - 1) > get_b(m - a)
+        too_few = (~too_many) & (get_b(m - a - 1) > get_a(a))
+        new_lo = jnp.where(too_few, a + 1, jnp.where(too_many, a_lo, a))
+        new_hi = jnp.where(too_many, a - 1, jnp.where(too_few, a_hi, a))
+        return new_lo, new_hi
+
+    a_lo, a_hi = jax.lax.fori_loop(0, 18, body, (a_lo, a_hi))
+    a = a_lo
+    return jnp.maximum(get_a(a - 1), get_b(m - a - 1))
+
+
 def _interval_mad(sorted_rows, lo, hi, med, data_range):
     """EXACT median absolute deviation of sorted_rows[t, lo:hi] with
-    even-count averaging.
-
-    The deviation array |sorted − med| masked to the interval is
-    V-shaped (decreasing to the median position, then increasing, ±inf
-    extending both branches) — bitonic — so ONE log2(P)-round
-    elementwise merge sorts it and the two middle ranks read out with
-    take_along_axis. Replaces a 35-round binary search on the
-    deviation radius whose ~420 vmapped searchsorted micro-ops were
-    ~25 ms of the detection at 12 Mpx (and was approximate to
-    range·2⁻³⁵)."""
-    from astroburst_tpu.ops.sort_network import (bitonic_merge_last,
-                                                 pad_pow2_inf_last)
-
+    even-count averaging — two two-run rank selections
+    (:func:`_sel_deviation_rank`) plus one compare-count pass for the
+    split position. Replaces a 35-round binary search on the deviation
+    radius whose ~420 vmapped searchsorted micro-ops were ~25 ms of
+    the detection at 12 Mpx (and was approximate to range·2⁻³⁵)."""
     cnt = hi - lo
     p = sorted_rows.shape[1]
     iota = jnp.arange(p)[None, :]
     window = (iota >= lo[:, None]) & (iota < hi[:, None])
-    dv = jnp.where(window, jnp.abs(sorted_rows - med[:, None]), jnp.inf)
-    dv = bitonic_merge_last(pad_pow2_inf_last(dv))
+    below = jnp.sum((window & (sorted_rows < med[:, None]))
+                    .astype(jnp.int32), axis=1)
+    split = lo + below
     n = jnp.maximum(cnt, 1)
-    k1 = (n - 1) // 2
-    k2 = n // 2
-    v1 = jnp.take_along_axis(dv, k1[:, None], axis=1)[:, 0]
-    v2 = jnp.take_along_axis(dv, k2[:, None], axis=1)[:, 0]
+    v1 = _sel_deviation_rank(sorted_rows, med, lo, split, hi,
+                             (n - 1) // 2)
+    v2 = _sel_deviation_rank(sorted_rows, med, lo, split, hi, n // 2)
     return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0)
 
 
