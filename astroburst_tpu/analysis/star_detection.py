@@ -81,9 +81,11 @@ def _interval_median(sorted_rows, lo, hi):
     return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0)
 
 
-def _sel_deviation_rank(sorted_rows, med, lo, split, hi, k):
-    """Exact 0-based rank-k element of the deviation multiset
-    {|sorted_rows[t, i] − med[t]| : lo ≤ i < hi}.
+def _sel_deviation_ranks(sorted_rows, med, lo, split, hi, ks):
+    """Exact 0-based rank-k elements of the deviation multiset
+    {|sorted_rows[t, i] − med[t]| : lo ≤ i < hi}, for a [T, R] stack of
+    ranks searched simultaneously (one take_along_axis serves every
+    rank per probe).
 
     The deviations form TWO ascending runs — A[i] = med − row[split−1−i]
     (values below med, walking down) and B[j] = row[split+j] − med — so
@@ -91,14 +93,15 @@ def _sel_deviation_rank(sorted_rows, med, lo, split, hi, k):
     partition search: 18 rounds of four per-tile gathers, no
     full-width tensor ops at all."""
     p = sorted_rows.shape[1]
-    la = split - lo
-    lb = hi - split
-    m = k + 1
+    la = (split - lo)[:, None]
+    lb = (hi - split)[:, None]
+    med = med[:, None]
+    split = split[:, None]
+    m = ks + 1
 
     def row_at(idx):
-        idx = jnp.clip(idx, 0, p - 1)
-        return jnp.take_along_axis(sorted_rows, idx[:, None],
-                                   axis=1)[:, 0]
+        return jnp.take_along_axis(sorted_rows, jnp.clip(idx, 0, p - 1),
+                                   axis=1)
 
     def get_a(i):
         v = med - row_at(split - 1 - i)
@@ -125,13 +128,14 @@ def _sel_deviation_rank(sorted_rows, med, lo, split, hi, k):
     return jnp.maximum(get_a(a - 1), get_b(m - a - 1))
 
 
-def _interval_mad(sorted_rows, lo, hi, med, data_range):
+def _interval_mad(sorted_rows, lo, hi, med):
     """EXACT median absolute deviation of sorted_rows[t, lo:hi] with
-    even-count averaging — two two-run rank selections
-    (:func:`_sel_deviation_rank`) plus one compare-count pass for the
-    split position. Replaces a 35-round binary search on the deviation
-    radius whose ~420 vmapped searchsorted micro-ops were ~25 ms of
-    the detection at 12 Mpx (and was approximate to range·2⁻³⁵)."""
+    even-count averaging — one batched two-run rank selection
+    (:func:`_sel_deviation_ranks` over both middle ranks) plus one
+    compare-count pass for the split position. Replaces a 35-round
+    binary search on the deviation radius whose ~420 vmapped
+    searchsorted micro-ops were ~25 ms of the detection at 12 Mpx (and
+    was approximate to range·2⁻³⁵)."""
     cnt = hi - lo
     p = sorted_rows.shape[1]
     iota = jnp.arange(p)[None, :]
@@ -140,13 +144,12 @@ def _interval_mad(sorted_rows, lo, hi, med, data_range):
                     .astype(jnp.int32), axis=1)
     split = lo + below
     n = jnp.maximum(cnt, 1)
-    v1 = _sel_deviation_rank(sorted_rows, med, lo, split, hi,
-                             (n - 1) // 2)
-    v2 = _sel_deviation_rank(sorted_rows, med, lo, split, hi, n // 2)
-    return jnp.where(cnt > 0, (v1 + v2) * 0.5, 0.0)
+    ks = jnp.stack([(n - 1) // 2, n // 2], axis=1)
+    vv = _sel_deviation_ranks(sorted_rows, med, lo, split, hi, ks)
+    return jnp.where(cnt > 0, (vv[:, 0] + vv[:, 1]) * 0.5, 0.0)
 
 
-def _tile_sigma_clipped(sorted_rows, valid_counts, data_range,
+def _tile_sigma_clipped(sorted_rows, valid_counts,
                         kappa: float = 3.0, iterations: int = 2):
     """Vectorized sigma_clipped_stats (math/sigma_clip.rs:4-34) over
     pre-sorted tile rows; the retained set stays a contiguous interval."""
@@ -156,7 +159,7 @@ def _tile_sigma_clipped(sorted_rows, valid_counts, data_range,
     for _ in range(iterations):
         active = (hi - lo) >= 3
         med = _interval_median(sorted_rows, lo, hi)
-        mad = _interval_mad(sorted_rows, lo, hi, med, data_range)
+        mad = _interval_mad(sorted_rows, lo, hi, med)
         sig = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
         # rank of the clip bounds by compare-count (== searchsorted
         # left/right on the sorted rows, as two fused reductions)
@@ -168,7 +171,7 @@ def _tile_sigma_clipped(sorted_rows, valid_counts, data_range,
         hi = jnp.where(active, jnp.minimum(new_hi, hi), hi)
     empty = hi <= lo
     med = _interval_median(sorted_rows, lo, hi)
-    mad = _interval_mad(sorted_rows, lo, hi, med, data_range)
+    mad = _interval_mad(sorted_rows, lo, hi, med)
     sig = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
     return (jnp.where(empty, 0.0, med), jnp.where(empty, 1.0, sig))
 
@@ -192,19 +195,13 @@ def _estimate_background_kernel(image: jax.Array, tile_size: int,
             sort_tiles_pallas)
         sorted_rows, counts = sort_tiles_pallas(padded, step,
                                                 interpret=interpret)
-        valid_plane = jnp.isfinite(padded) & (padded > PADDING_THRESHOLD)
-        mn = jnp.min(jnp.where(valid_plane, padded, jnp.inf))
-        mx = jnp.max(jnp.where(valid_plane, padded, -jnp.inf))
     else:
         tiles = padded.reshape(ty, step, tx, step).transpose(0, 2, 1, 3)
         tiles = tiles.reshape(ty * tx, step * step)
         valid = jnp.isfinite(tiles) & (tiles > PADDING_THRESHOLD)
         counts = jnp.sum(valid.astype(jnp.int32), axis=1)
         sorted_rows = jnp.sort(jnp.where(valid, tiles, jnp.inf), axis=1)
-        mn = jnp.min(jnp.where(valid, tiles, jnp.inf))
-        mx = jnp.max(jnp.where(valid, tiles, -jnp.inf))
-    rng = jnp.maximum(mx - mn, 1e-30)
-    med, sig = _tile_sigma_clipped(sorted_rows, counts, rng)
+    med, sig = _tile_sigma_clipped(sorted_rows, counts)
     # tiles with <8 valid pixels are excluded (star_detection.rs:60)
     ok = counts >= 8
     n_ok = jnp.sum(ok.astype(jnp.int32))
@@ -226,18 +223,26 @@ def estimate_background(image, tile_size: int):
 
 
 def _local_maxima(img, mask):
-    """mask & (img strictly ≥ all 8 neighbors, > at least by position)."""
-    neg = jnp.full_like(img, -jnp.inf)
-    best = img
+    """mask & (img strictly ≥ all 8 neighbors, > at least by position).
+
+    Neighbor shifts are static slices of ONE −inf-padded plane — XLA
+    fuses slices of a shared buffer into the compare chain, where the
+    jnp.roll form materialized every shifted plane (~9 ms → ~1 ms at
+    16 Mpx)."""
+    rows, cols = img.shape
+    p = jnp.pad(img, 1, constant_values=-jnp.inf)
     strict = jnp.ones_like(mask)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            shifted = jnp.roll(img, (dy, dx), axis=(0, 1))
-            # ties broken toward the lexicographically-first pixel so a
-            # flat plateau yields a single peak
-            if (dy, dx) < (0, 0):
+            # the neighbor AT (dy, dx) seen from each pixel (the roll
+            # form compared against the neighbor at (−dy, −dx), so the
+            # strict set flips with it)
+            shifted = jax.lax.slice(
+                p, (1 + dy, 1 + dx), (1 + dy + rows, 1 + dx + cols))
+            # ties broken so a flat plateau yields a single peak
+            if (dy, dx) > (0, 0):
                 strict = strict & (img > shifted)
             else:
                 strict = strict & (img >= shifted)
@@ -268,10 +273,30 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
     c2 = -(-cols // 2) * 2
     sp = jnp.pad(score, ((0, r2 - rows), (0, c2 - cols)),
                  constant_values=-jnp.inf)
-    bmax = sp.reshape(r2 // 2, 2, c2 // 2, 2).max(axis=(1, 3))
-    vals, bidx = jax.lax.top_k(bmax.reshape(-1), max_peaks)
-    by = bidx // (c2 // 2)
-    bx = bidx % (c2 // 2)
+    # 2×2 block max via roll + index-VECTOR takes: the
+    # reshape(r2//2, 2, c2//2, 2).max(axis=(1, 3)) form relayouts the
+    # whole plane (~24 ms at 16 Mpx; CLAUDE.md perf facts), while rolls
+    # are free and even-index takes run at take-vector speed.
+    m = jnp.maximum(sp, jnp.roll(sp, -1, axis=0))
+    m = jnp.take(m, jnp.arange(0, r2, 2), axis=0)
+    m = jnp.maximum(m, jnp.roll(m, -1, axis=1))
+    bmax = jnp.take(m, jnp.arange(0, c2, 2), axis=1)
+    rows_b, cols_b = r2 // 2, c2 // 2
+    k_row = min(64, cols_b)
+    if cols_b > 64 and rows_b * k_row >= max_peaks:
+        # two-level top_k (5.9 vs 10.3 ms at 4.2 M): per-row top-64
+        # then a flat top_k over the 64·rows_b survivors. A row of
+        # bmax spans TWO image rows; >64 local maxima above 5σ inside
+        # a 2-row slab would mean a cluster denser than the 3-px dedup
+        # resolves anyway.
+        rv, ri = jax.lax.top_k(bmax, k_row)
+        vals, fi = jax.lax.top_k(rv.reshape(-1), max_peaks)
+        by = fi // k_row
+        bx = jnp.take(ri.reshape(-1), fi)
+    else:
+        vals, bidx = jax.lax.top_k(bmax.reshape(-1), max_peaks)
+        by = bidx // cols_b
+        bx = bidx % cols_b
     flat = sp.reshape(-1)
     base_idx = (2 * by) * c2 + 2 * bx
     c00 = jnp.take(flat, base_idx)
@@ -290,66 +315,85 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
     half = window // 2
     padded = jnp.pad(image, half, constant_values=jnp.nan)
 
-    def analyze(y, x):
-        win = jax.lax.dynamic_slice(padded, (y, x), (window, window))
-        wfinite = jnp.isfinite(win)
-        wabove = wfinite & (win > threshold)
-        # bounded flood fill from the center: iterative 3×3 dilation
-        # (fori_loop keeps the HLO small — unrolling half×8 shifts per
-        # vmapped peak made compiles minutes-long)
-        member0 = jnp.zeros((window, window), bool).at[half, half].set(True)
+    # windows with the PEAK axis LAST: the vmapped [n, 41, 41] layout
+    # padded every 41-wide op to 128 lanes (3.7× wasted VPU work and
+    # HBM traffic across the 20 dilation rounds); [41, 41, n] keeps the
+    # n=max_peaks axis lane-dense and turns the 8-neighbor shifts into
+    # sublane/tile moves.
+    wins = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+        padded, (y, x), (window, window)))(py.astype(jnp.int32),
+                                           px.astype(jnp.int32))
+    win = wins.transpose(1, 2, 0)
+    wfinite = jnp.isfinite(win)
+    wabove = wfinite & (win > threshold)
+    # bounded flood fill from the center: iterative 3×3 dilation
+    # (fori_loop keeps the HLO small — unrolling half×8 shifts made
+    # compiles minutes-long)
+    member0 = jnp.zeros((window, window, max_peaks),
+                        bool).at[half, half, :].set(True)
 
-        def grow(_, member):
-            m = jnp.pad(member, 1)  # zero-pad: no wraparound connectivity
-            grown = member
-            for dy in (0, 1, 2):
-                for dx in (0, 1, 2):
-                    if dy == 1 and dx == 1:
-                        continue
-                    grown = grown | m[dy:dy + window, dx:dx + window]
-            return grown & wabove
+    def grow(_, member):
+        # zero-pad the two spatial axes: no wraparound connectivity
+        m = jnp.pad(member, ((1, 1), (1, 1), (0, 0)))
+        grown = member
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                grown = grown | m[dy:dy + window, dx:dx + window, :]
+        return grown & wabove
 
-        member = jax.lax.fori_loop(0, half, grow, member0)
-        v = jnp.where(member, jnp.maximum(win - bg_med, 0.0), 0.0)
-        npix = jnp.sum(member.astype(jnp.int32))
-        flux = jnp.sum(v)
-        yy = jnp.arange(window, dtype=jnp.float32)[:, None]
-        xx = jnp.arange(window, dtype=jnp.float32)[None, :]
-        safe_flux = jnp.maximum(flux, 1e-30)
-        cy = jnp.sum(yy * v) / safe_flux
-        cx = jnp.sum(xx * v) / safe_flux
-        dy = yy - cy
-        dx = xx - cx
-        r2 = jnp.sum((dx * dx + dy * dy) * v)
-        sxx = jnp.sum(dx * dx * v) / safe_flux
-        syy = jnp.sum(dy * dy * v) / safe_flux
-        sxy = jnp.sum(dx * dy * v) / safe_flux
-        sigma_star = jnp.sqrt(r2 / (2.0 * safe_flux))
-        fwhm = sigma_star * FWHM_FACTOR
-        trace = sxx + syy
-        det = jnp.maximum(sxx * syy - sxy * sxy, 0.0)
-        disc = jnp.sqrt(jnp.maximum(trace * trace / 4.0 - det, 0.0))
-        l1 = trace / 2.0 + disc
-        l2 = jnp.maximum(trace / 2.0 - disc, 0.0)
-        ecc = jnp.where(l1 > 1e-15,
-                        jnp.clip(jnp.sqrt(jnp.maximum(1.0 - l2 / l1, 0.0)),
-                                 0.0, 1.0), 0.0)
-        peak_val = jnp.max(v)
-        return (cy + (y - half), cx + (x - half), flux, fwhm, ecc, peak_val,
-                npix, jnp.where(bg_sig <= 1e-300, 0.0, peak_val / bg_sig))
-
-    cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs = jax.vmap(analyze)(
-        py.astype(jnp.int32), px.astype(jnp.int32))
+    member = jax.lax.fori_loop(0, half, grow, member0)
+    v = jnp.where(member, jnp.maximum(win - bg_med, 0.0), 0.0)
+    npixs = jnp.sum(member.astype(jnp.int32), axis=(0, 1))
+    fluxes = jnp.sum(v, axis=(0, 1))
+    yy = jnp.arange(window, dtype=jnp.float32)[:, None, None]
+    xx = jnp.arange(window, dtype=jnp.float32)[None, :, None]
+    safe_flux = jnp.maximum(fluxes, 1e-30)
+    cy = jnp.sum(yy * v, axis=(0, 1)) / safe_flux
+    cx = jnp.sum(xx * v, axis=(0, 1)) / safe_flux
+    dy = yy - cy[None, None, :]
+    dx = xx - cx[None, None, :]
+    r2m = jnp.sum((dx * dx + dy * dy) * v, axis=(0, 1))
+    sxx = jnp.sum(dx * dx * v, axis=(0, 1)) / safe_flux
+    syy = jnp.sum(dy * dy * v, axis=(0, 1)) / safe_flux
+    sxy = jnp.sum(dx * dy * v, axis=(0, 1)) / safe_flux
+    sigma_star = jnp.sqrt(r2m / (2.0 * safe_flux))
+    fwhms = sigma_star * FWHM_FACTOR
+    trace = sxx + syy
+    det = jnp.maximum(sxx * syy - sxy * sxy, 0.0)
+    disc = jnp.sqrt(jnp.maximum(trace * trace / 4.0 - det, 0.0))
+    l1 = trace / 2.0 + disc
+    l2 = jnp.maximum(trace / 2.0 - disc, 0.0)
+    eccs = jnp.where(l1 > 1e-15,
+                     jnp.clip(jnp.sqrt(jnp.maximum(1.0 - l2 / l1, 0.0)),
+                              0.0, 1.0), 0.0)
+    pvals = jnp.max(v, axis=(0, 1))
+    cys = cy + (py.astype(jnp.float32) - half)
+    cxs = cx + (px.astype(jnp.float32) - half)
+    snrs = jnp.where(bg_sig <= 1e-300, 0.0, pvals / bg_sig)
 
     valid = (is_peak & (npixs >= 3) & (npixs <= 5000) & (fluxes > 0.0) &
              (fwhms >= 0.5) & (fwhms <= 30.0))
-    # ONE packed f32 array: the host reads all nine outputs in a single
-    # device fetch (fetches serialize at ~31 ms RTT on tunneled hosts;
-    # nine separate np.asarray calls cost ~9×). npix ≤ 5000 and the
-    # 0/1 valid flag are exact in f32.
+    # ONE packed f32 array: the host reads all nine outputs PLUS the
+    # background scalars in a single device fetch (fetches serialize at
+    # ~31 ms RTT on tunneled hosts; the separate float(bg_med)/
+    # float(bg_sig) reads alone were ~53 ms). npix ≤ 5000 and the 0/1
+    # valid flag are exact in f32.
+    bg_row = jnp.zeros((max_peaks,), jnp.float32)
+    bg_row = bg_row.at[0].set(bg_med).at[1].set(bg_sig)
     return jnp.stack([cys, cxs, fluxes, fwhms, eccs, pvals,
                       npixs.astype(jnp.float32),
-                      snrs, valid.astype(jnp.float32)])
+                      snrs, valid.astype(jnp.float32), bg_row])
+
+
+@partial(jax.jit, static_argnames=("tile_size", "max_peaks"))
+def _detect_fused(img, tile_size, sigma_threshold, max_peaks):
+    """Background estimation + detection in ONE dispatch (each axon
+    dispatch costs ~3 ms; the intermediate bg scalars never visit the
+    host)."""
+    bg_med, bg_sig = _estimate_background_kernel(img, tile_size)
+    return _detect_kernel(img, bg_med, bg_sig, sigma_threshold, max_peaks)
 
 
 def detect_stars(image, sigma_threshold: float = 5.0,
@@ -361,41 +405,49 @@ def detect_stars(image, sigma_threshold: float = 5.0,
         return DetectionResult([], 0.0, 1.0, sigma_threshold, cols, rows)
 
     tile_size = min(max(min(rows, cols) // 8, 32), 256)
-    bg_med, bg_sig = _estimate_background_kernel(img, tile_size)
-    packed = np.asarray(_detect_kernel(img, bg_med, bg_sig,
-                                       float(sigma_threshold), max_peaks))
+    packed = np.asarray(_detect_fused(img, tile_size,
+                                      float(sigma_threshold), max_peaks))
     (cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs) = packed[:8]
     valid = packed[8] > 0.5
+    bg_med, bg_sig = packed[9, 0], packed[9, 1]
 
     order = np.argsort(-fluxes)  # brightest first (star_detection.rs:215)
-    # greedy 3-px dedup in flux order against preallocated arrays (the
-    # grow-a-list + np.array-per-candidate form was O(n²) COPIES on
-    # top of the O(n²) compares — ~150 ms of the 270 ms detection at
-    # 1024 peaks)
     cand = order[valid[order]]
-    oy = cys[cand]
-    ox = cxs[cand]
-    sel_y = np.empty(len(cand))
-    sel_x = np.empty(len(cand))
-    kept_idx = []
-    m = 0
-    for pos, i in enumerate(cand):
+    # greedy 3-px dedup in flux order over a 3-px bucket grid: each
+    # candidate only checks the 9 neighboring cells, and all columns
+    # cross numpy→Python ONCE via tolist() (per-candidate numpy slices
+    # + per-field float() were ~59 ms of the detection at ~3000 stars)
+    oy = cys[cand].tolist()
+    ox = cxs[cand].tolist()
+    lfx, lfy = fluxes[cand].tolist(), fwhms[cand].tolist()
+    lec, lpk = eccs[cand].tolist(), pvals[cand].tolist()
+    lnp, lsn = npixs[cand].tolist(), snrs[cand].tolist()
+    grid: dict = {}
+    stars: List[DetectedStar] = []
+    for pos in range(len(oy)):
         y = oy[pos]
         x = ox[pos]
-        if m:
-            dy = sel_y[:m] - y
-            dx = sel_x[:m] - x
-            if (dy * dy + dx * dx < 9.0).any():
-                continue
-        sel_y[m] = y
-        sel_x[m] = x
-        m += 1
-        kept_idx.append(i)
-    stars: List[DetectedStar] = [
-        DetectedStar(
-            x=float(cxs[i]), y=float(cys[i]), flux=float(fluxes[i]),
-            fwhm=float(fwhms[i]), eccentricity=float(eccs[i]),
-            peak=float(pvals[i]), npix=int(npixs[i]), snr=float(snrs[i]))
-        for i in kept_idx]
+        cy_i = int(y) // 3
+        cx_i = int(x) // 3
+        clash = False
+        for gy in (cy_i - 1, cy_i, cy_i + 1):
+            for gx in (cx_i - 1, cx_i, cx_i + 1):
+                for (sy, sx) in grid.get((gy, gx), ()):
+                    dy = sy - y
+                    dx = sx - x
+                    if dy * dy + dx * dx < 9.0:
+                        clash = True
+                        break
+                if clash:
+                    break
+            if clash:
+                break
+        if clash:
+            continue
+        grid.setdefault((cy_i, cx_i), []).append((y, x))
+        stars.append(DetectedStar(
+            x=x, y=y, flux=lfx[pos], fwhm=lfy[pos],
+            eccentricity=lec[pos], peak=lpk[pos],
+            npix=int(lnp[pos]), snr=lsn[pos]))
     return DetectionResult(stars, float(bg_med), float(bg_sig),
                            sigma_threshold, cols, rows)
