@@ -58,6 +58,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.astro_encode_be_i16.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_double]
+        try:
+            lib.astro_encode_be_to_fd.restype = ctypes.c_int
+            lib.astro_encode_be_to_fd.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int]
+        except AttributeError:
+            pass  # stale .so without the symbol; writer falls back
         lib.astro_masked_scan.restype = None
         lib.astro_masked_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -114,6 +121,23 @@ def encode_be_i16_native(data: np.ndarray, bzero: float,
                             out.ctypes.data_as(ctypes.c_void_p), flat.size,
                             float(bzero), float(bscale))
     return out.data
+
+
+def encode_be_to_fd(data: np.ndarray, fd: int, bitpix: int,
+                    bzero: float, bscale: float) -> bool:
+    """BE-encode + write() to an open fd in cache-resident 4 MB chunks
+    (one fused native call per plane): the source crosses DRAM once,
+    where encode-to-a-full-size-buffer + f.write() re-reads the cold
+    payload a third time."""
+    lib = get_lib()
+    if (lib is None or bitpix not in (16, -32)
+            or not hasattr(lib, "astro_encode_be_to_fd")):
+        return False
+    flat = np.ascontiguousarray(data, np.float32).ravel()
+    rc = lib.astro_encode_be_to_fd(
+        flat.ctypes.data_as(ctypes.c_void_p), flat.size, bitpix,
+        float(bzero), float(bscale), fd)
+    return rc == 0
 
 
 def masked_scan_native(data: np.ndarray):

@@ -10,6 +10,8 @@
 #include <cstdint>
 #include <cstring>
 
+#include <unistd.h>
+
 #if defined(_OPENMP)
 #include <omp.h>
 #endif
@@ -134,6 +136,58 @@ void astro_encode_be_i16(const float* src, uint8_t* dst, int64_t n,
         uint16_t bits = __builtin_bswap16(static_cast<uint16_t>(v));
         std::memcpy(dst + 2 * i, &bits, 2);
     }
+}
+
+// Encode float32 → big-endian payload and write() it to an open fd in
+// cache-resident chunks: the source crosses DRAM once and the bounce
+// buffer stays hot in L2, where encode-to-a-full-size-buffer +
+// f.write() re-reads the whole cold payload a third time. Returns 0 on
+// success, -1 on a short/failed write or unsupported bitpix.
+int astro_encode_be_to_fd(const float* src, int64_t n, int bitpix,
+                          double bzero, double bscale, int fd) {
+    constexpr int64_t kChunkBytes = 4 << 20;
+    static thread_local uint8_t tls_buf[kChunkBytes];
+    uint8_t* const buf = tls_buf;  // resolve TLS once, OUTSIDE the
+                                   // omp regions (workers would
+                                   // otherwise hit their own copies)
+    const int bpp = bitpix == 16 ? 2 : 4;
+    if (bitpix != 16 && bitpix != -32) return -1;
+    const double inv = bitpix == 16 ? 1.0 / bscale : 0.0;
+    const int64_t per_chunk = kChunkBytes / bpp;
+    for (int64_t start = 0; start < n; start += per_chunk) {
+        const int64_t cnt = n - start < per_chunk ? n - start : per_chunk;
+        if (bitpix == -32) {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < cnt; ++i) {
+                uint32_t bits;
+                std::memcpy(&bits, &src[start + i], 4);
+                bits = __builtin_bswap32(bits);
+                std::memcpy(buf + 4 * i, &bits, 4);
+            }
+        } else {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < cnt; ++i) {
+                double physical =
+                    (static_cast<double>(src[start + i]) - bzero) * inv;
+                if (physical > 32767.0) physical = 32767.0;
+                if (physical < -32768.0) physical = -32768.0;
+                int16_t v = static_cast<int16_t>(physical >= 0.0
+                                                     ? physical + 0.5
+                                                     : physical - 0.5);
+                uint16_t bits = __builtin_bswap16(static_cast<uint16_t>(v));
+                std::memcpy(buf + 2 * i, &bits, 2);
+            }
+        }
+        int64_t todo = cnt * bpp;
+        const uint8_t* p = buf;
+        while (todo > 0) {
+            int64_t wrote = write(fd, p, static_cast<size_t>(todo));
+            if (wrote <= 0) return -1;
+            todo -= wrote;
+            p += wrote;
+        }
+    }
+    return 0;
 }
 
 // Masked min/max/sum/count with the validity rule finite && > 1e-7
