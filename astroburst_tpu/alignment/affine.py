@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from astroburst_tpu.alignment.phase_correlation import phase_correlate
-from astroburst_tpu.analysis.star_detection import detect_stars
+from astroburst_tpu.analysis.star_detection import (detect_stars,
+                                                    detect_stars_pair)
 from astroburst_tpu.ops.resample import catmull_rom
 
 _LOG = logging.getLogger("astroburst_tpu.alignment")
@@ -141,12 +142,19 @@ def build_triangles(stars: np.ndarray):
     if n < 3:
         return (np.zeros((0, 3), np.int32), np.zeros((0, 2), np.float32))
     pts = np.asarray(stars[:n], dtype=np.float64)
-    i, j, k = np.array(
-        [(a, b, c) for a in range(n) for b in range(a + 1, n)
-         for c in range(b + 1, n)], dtype=np.int32).T.reshape(3, -1)
-    d_ij = np.linalg.norm(pts[i] - pts[j], axis=1)
-    d_jk = np.linalg.norm(pts[j] - pts[k], axis=1)
-    d_ik = np.linalg.norm(pts[i] - pts[k], axis=1)
+    # all C(n,3) index triples, vectorized (the tuple-comprehension
+    # form was ~45 ms of the alignment chain at n=100)
+    ar = np.arange(n, dtype=np.int32)
+    i, j, k = np.meshgrid(ar, ar, ar, indexing="ij")
+    mask = (i < j) & (j < k)
+    i, j, k = i[mask], j[mask], k[mask]
+    # side lengths via ONE [n, n] pairwise table + three gathers
+    # (recomputing norms per triple was ~20 ms of the chain)
+    diff = pts[:, None, :] - pts[None, :, :]
+    dist = np.sqrt((diff * diff).sum(axis=2))
+    d_ij = dist[i, j]
+    d_jk = dist[j, k]
+    d_ik = dist[i, k]
     sides = np.sort(np.stack([d_ij, d_jk, d_ik], axis=1), axis=1)
     keep = sides[:, 0] >= MIN_TRIANGLE_SIDE
     i, j, k = i[keep], j[keep], k[keep]
@@ -175,26 +183,66 @@ def _vote_kernel(ref_ratios, ref_verts, tgt_ratios, tgt_verts,
     rr = ref_ratios.reshape(rows, _VOTE_CHUNK, 2)
     rv = ref_verts.reshape(rows, _VOTE_CHUNK, 3)
     tgt_oh = [(tgt_verts[:, p][:, None] ==
-               jnp.arange(n_tgt_stars)[None, :]).astype(jnp.float32)
+               jnp.arange(n_tgt_stars)[None, :]).astype(jnp.bfloat16)
               for p in range(3)]
 
     def body(acc, args):
         ratios, verts = args
+        # bf16 mask: 0/1 are exact, traffic halves, and the MXU still
+        # accumulates in f32
         m = ((jnp.abs(ratios[:, None, 0] - tgt_ratios[None, :, 0])
               <= TRIANGLE_TOLERANCE) &
              (jnp.abs(ratios[:, None, 1] - tgt_ratios[None, :, 1])
-              <= TRIANGLE_TOLERANCE)).astype(jnp.float32)
+              <= TRIANGLE_TOLERANCE)).astype(jnp.bfloat16)
+        # accumulate a_ohᵀ·m per vertex position; the contraction with
+        # tgt_oh happens ONCE after the scan (inside the scan it was
+        # ~40% of the vote FLOPs). Counts stay ≤ _VOTE_CHUNK = 256 per
+        # step — exact in bf16 — and the f32 carry accumulates them.
+        outs = []
         for p in range(3):
             a_oh = (verts[:, p][:, None] ==
-                    jnp.arange(n_ref_stars)[None, :]).astype(jnp.float32)
-            mb = jnp.matmul(m, tgt_oh[p], precision=jax.lax.Precision.HIGHEST)
-            acc = acc + jnp.matmul(a_oh.T, mb,
-                                   precision=jax.lax.Precision.HIGHEST)
-        return acc, None
+                    jnp.arange(n_ref_stars)[None, :]).astype(jnp.bfloat16)
+            outs.append(jnp.matmul(a_oh.T, m,
+                                   preferred_element_type=jnp.float32))
+        return (acc[0] + outs[0], acc[1] + outs[1], acc[2] + outs[2]), None
 
-    init = jnp.zeros((n_ref_stars, n_tgt_stars), jnp.float32)
-    votes, _ = jax.lax.scan(body, init, (rr, rv))
+    t = tgt_ratios.shape[0]
+    init = tuple(jnp.zeros((n_ref_stars, t), jnp.float32)
+                 for _ in range(3))
+    ams, _ = jax.lax.scan(body, init, (rr, rv))
+    votes = jnp.zeros((n_ref_stars, n_tgt_stars), jnp.float32)
+    for p in range(3):
+        # per-(star, tgt-tri) counts are bounded by the REF triangle
+        # count — beyond bf16's exact-integer range. Split hi·256+lo:
+        # hi ≤ ⌈T/256⌉ and lo < 256 are both bf16-exact, each product
+        # accumulates exactly in the MXU's f32 accumulator, so the
+        # recombined votes are exact integers at DEFAULT precision.
+        hi = jnp.floor(ams[p] / 256.0).astype(jnp.bfloat16)
+        lo = (ams[p] - jnp.floor(ams[p] / 256.0) * 256.0
+              ).astype(jnp.bfloat16)
+        votes = (votes + 256.0 * jnp.matmul(
+            hi, tgt_oh[p], preferred_element_type=jnp.float32)
+            + jnp.matmul(lo, tgt_oh[p],
+                         preferred_element_type=jnp.float32))
     return votes
+
+
+# static vote-kernel shapes: triangles from ≤ TRIANGLE_STAR_LIMIT = 60
+# stars are ≤ C(60,3) = 34220, padded to the next _VOTE_CHUNK multiple;
+# vertex indices are < 60, padded one-hots to 64. Variable shapes made
+# every new image pair RECOMPILE the kernel (a multi-minute remote
+# compile on the axon backend).
+_TRI_CAP = -(-34220 // _VOTE_CHUNK) * _VOTE_CHUNK
+_STAR_CAP = 64
+
+
+def _pad_tris(verts: np.ndarray, ratios: np.ndarray):
+    pad = _TRI_CAP - len(verts)
+    # +inf ratio rows can never be within tolerance of anything
+    # (inf−x = inf, inf−inf = nan; both fail the ≤ test) → zero votes
+    return (np.concatenate([verts, np.zeros((pad, 3), np.int32)]),
+            np.concatenate([ratios,
+                            np.full((pad, 2), np.inf, np.float32)]))
 
 
 def match_triangles(ref_stars: np.ndarray, tgt_stars: np.ndarray,
@@ -205,29 +253,24 @@ def match_triangles(ref_stars: np.ndarray, tgt_stars: np.ndarray,
     tgt_verts, tgt_ratios = tgt_tris
     if len(ref_verts) == 0 or len(tgt_verts) == 0:
         return []
-    pad = (-len(ref_verts)) % _VOTE_CHUNK
-    if pad:
-        ref_ratios = np.concatenate(
-            [ref_ratios, np.full((pad, 2), np.inf, np.float32)])
-        ref_verts = np.concatenate(
-            [ref_verts, np.zeros((pad, 3), np.int32)])
+    ref_verts, ref_ratios = _pad_tris(ref_verts, ref_ratios)
+    tgt_verts, tgt_ratios = _pad_tris(tgt_verts, tgt_ratios)
     votes = np.asarray(_vote_kernel(
         jnp.asarray(ref_ratios), jnp.asarray(ref_verts),
         jnp.asarray(tgt_ratios), jnp.asarray(tgt_verts),
-        len(ref_stars), len(tgt_stars)))
+        _STAR_CAP, _STAR_CAP))
     votes = np.round(votes).astype(np.int64)
 
     flat = votes.reshape(-1)
     order = np.argsort(-flat, kind="stable")
-    used_ref = np.zeros(len(ref_stars), bool)
-    used_tgt = np.zeros(len(tgt_stars), bool)
+    used_ref = np.zeros(_STAR_CAP, bool)
+    used_tgt = np.zeros(_STAR_CAP, bool)
     matches = []
-    n_tgt = len(tgt_stars)
     for idx in order:
         v = flat[idx]
-        if v < MIN_VOTES:
+        if v < max(MIN_VOTES, 1):  # padded rows/cols carry zero votes
             break
-        ri, ti = divmod(int(idx), n_tgt)
+        ri, ti = divmod(int(idx), _STAR_CAP)
         if used_ref[ri] or used_tgt[ti]:
             continue
         used_ref[ri] = True
@@ -384,8 +427,9 @@ def align_channel_affine(reference, target) -> AffineAlignResult:
     tgt = jnp.asarray(target)
     rows, cols = ref.shape
 
-    ref_det = detect_stars(normalize_for_detection(ref), DETECTION_SIGMA)
-    tgt_det = detect_stars(normalize_for_detection(tgt), DETECTION_SIGMA)
+    ref_det, tgt_det = detect_stars_pair(normalize_for_detection(ref),
+                                         normalize_for_detection(tgt),
+                                         DETECTION_SIGMA)
     ref_stars = np.array([(s.x, s.y) for s in ref_det.stars[:MAX_STARS]])
     tgt_stars = np.array([(s.x, s.y) for s in tgt_det.stars[:MAX_STARS]])
 

@@ -396,6 +396,17 @@ def _detect_fused(img, tile_size, sigma_threshold, max_peaks):
     return _detect_kernel(img, bg_med, bg_sig, sigma_threshold, max_peaks)
 
 
+@partial(jax.jit, static_argnames=("tile_size", "max_peaks"))
+def _detect_fused_pair(img_a, img_b, tile_size, sigma_threshold,
+                       max_peaks):
+    """Both planes of an alignment pair in ONE dispatch; the caller
+    fetches one stacked [2, 10, max_peaks] array instead of paying two
+    serialized ~28 ms tunnel round trips."""
+    return jnp.stack([
+        _detect_fused(img_a, tile_size, sigma_threshold, max_peaks),
+        _detect_fused(img_b, tile_size, sigma_threshold, max_peaks)])
+
+
 def detect_stars(image, sigma_threshold: float = 5.0,
                  max_peaks: int = MAX_PEAKS) -> DetectionResult:
     """Full detection pipeline (star_detection.rs:86-248)."""
@@ -407,6 +418,28 @@ def detect_stars(image, sigma_threshold: float = 5.0,
     tile_size = min(max(min(rows, cols) // 8, 32), 256)
     packed = np.asarray(_detect_fused(img, tile_size,
                                       float(sigma_threshold), max_peaks))
+    return _postprocess_packed(packed, float(sigma_threshold), rows, cols)
+
+
+def detect_stars_pair(image_a, image_b, sigma_threshold: float = 5.0,
+                      max_peaks: int = MAX_PEAKS):
+    """detect_stars on two same-shape planes with one device dispatch
+    and one host fetch (the alignment chain's detect ×2)."""
+    a = jnp.asarray(image_a, dtype=jnp.float32)
+    b = jnp.asarray(image_b, dtype=jnp.float32)
+    rows, cols = a.shape
+    if rows < 3 or cols < 3 or a.shape != b.shape:
+        return (detect_stars(image_a, sigma_threshold, max_peaks),
+                detect_stars(image_b, sigma_threshold, max_peaks))
+    tile_size = min(max(min(rows, cols) // 8, 32), 256)
+    both = np.asarray(_detect_fused_pair(a, b, tile_size,
+                                         float(sigma_threshold), max_peaks))
+    return (_postprocess_packed(both[0], float(sigma_threshold), rows, cols),
+            _postprocess_packed(both[1], float(sigma_threshold), rows, cols))
+
+
+def _postprocess_packed(packed: np.ndarray, sigma_threshold: float,
+                        rows: int, cols: int) -> DetectionResult:
     (cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs) = packed[:8]
     valid = packed[8] > 0.5
     bg_med, bg_sig = packed[9, 0], packed[9, 1]
