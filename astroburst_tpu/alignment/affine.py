@@ -321,17 +321,25 @@ def _residual(matches: np.ndarray, t: AffineTransform) -> float:
     return float(np.sqrt((px - tx) ** 2 + (py - ty) ** 2).mean())
 
 
+# one fixed uniform table drives hypothesis sampling for BOTH the host
+# path and the fused device chain (fused_chain.py): idx = floor(u·n)
+# gives identical samples for the same match count on either path,
+# where a count-parameterized integer draw could not be reproduced
+# under tracing. Deterministic like the reference's seeded sampling
+# (affine.rs:400-517).
+_RANSAC_U = np.random.default_rng(0xDEADBEEF).random(
+    (RANSAC_ITERATIONS, 3)).astype(np.float32)
+
+
 def ransac_affine(matches: List[Tuple[float, float, float, float]],
-                  method: str,
-                  seed: int = 0xDEADBEEF) -> Optional[AffineAlignResult]:
+                  method: str) -> Optional[AffineAlignResult]:
     """All 2000 hypotheses vectorized; deterministic (affine.rs:400-517)."""
     m = np.asarray(matches, dtype=np.float64)
     n = len(m)
     min_sample = 3 if method == "affine" else 2
     if n < min_sample:
         return None
-    rng = np.random.default_rng(seed)
-    idx = rng.integers(0, n, size=(RANSAC_ITERATIONS, min_sample))
+    idx = np.minimum((_RANSAC_U[:, :min_sample] * n).astype(np.int64), n - 1)
     # degenerate samples (repeated points) yield singular fits → dropped
     rx, ry = m[idx, 0], m[idx, 1]          # [I, s]
     tx, ty = m[idx, 2], m[idx, 3]

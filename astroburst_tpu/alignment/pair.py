@@ -48,8 +48,13 @@ def estimate_offset(reference, target, method: AlignMethod):
 def align_pair(reference, target, method: AlignMethod, rows: int,
                cols: int) -> AlignPairResult:
     if method == AlignMethod.AFFINE:
-        result = align_channel_affine(reference, target)
-        warped = warp_image(target, result.transform, rows, cols)
+        if jax.default_backend() == "tpu":
+            # one device program, one host fetch (fused_chain)
+            from astroburst_tpu.alignment.fused_chain import align_and_warp
+            warped, result = align_and_warp(reference, target)
+        else:
+            result = align_channel_affine(reference, target)
+            warped = warp_image(target, result.transform, rows, cols)
         return AlignPairResult(
             aligned=warped,
             offset=(result.transform.ty, result.transform.tx),

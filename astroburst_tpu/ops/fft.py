@@ -37,6 +37,23 @@ def next_power_of_two(n: int) -> int:
     return p
 
 
+def next_fast_size(n: int) -> int:
+    """Smallest m ≥ n the four-step engine handles efficiently: even,
+    128-lane aligned, m = n1·n2 with n1 the largest power of two
+    ≤ √m and n2 ≤ _DIRECT_MAX (one direct matmul per stage, no
+    recursion). Linear convolution only needs m ≥ rows + taps − 1;
+    padding to this instead of next_power_of_two (fft.rs:64) cuts the
+    FFT work up to ~4× (e.g. 2111 → 2176 instead of 4096)."""
+    if n <= _DIRECT_MAX:
+        return max(8, -(-n // 8) * 8)
+    m = -(-n // 128) * 128
+    while True:
+        n1, n2 = _split(m)
+        if n1 * n2 == m and n2 <= _DIRECT_MAX:
+            return m
+        m += 128
+
+
 @lru_cache(maxsize=None)
 def _dft_matrix(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
     """Dense DFT matrix W[j,k] = exp(∓2πi jk/n), host f64 → f32 parts."""

@@ -259,8 +259,7 @@ def bench_affine_align(h=5655, w=2206, n_stars=90):
     import math
 
     jax, jnp = _jx()
-    from astroburst_tpu.alignment.affine import (align_channel_affine,
-                                                 warp_image)
+    from astroburst_tpu.alignment.fused_chain import align_and_warp
 
     base = _star_field(h, w, n_stars, seed=8, amp=5000.0, fwhm=3.0,
                        halos=True)
@@ -280,8 +279,7 @@ def bench_affine_align(h=5655, w=2206, n_stars=90):
     jax.block_until_ready((ref_d, tgt_d))
 
     def run():
-        res = align_channel_affine(ref_d, tgt_d)
-        warped = warp_image(tgt_d, res.transform, h, w)
+        warped, res = align_and_warp(ref_d, tgt_d)
         warped.block_until_ready()
         return res
 
