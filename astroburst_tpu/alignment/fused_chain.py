@@ -68,17 +68,22 @@ _N_TRI = len(_TRIPLES)                       # 34220
 _TP = -(-_N_TRI // _TRI_PAD) * _TRI_PAD      # 34816
 
 
-def _dedupe_topk(packed: jax.Array, n_keep: int = _N_TRI_STARS):
+def _dedupe_topk(packed: jax.Array, n_keep: int = _N_TRI_STARS,
+                 scan_cap: int = 256):
     """Brightest-first 3-px greedy dedupe of the packed detection
     candidates; returns the first ``n_keep`` accepted star positions
     ([n_keep] x/y, +inf in empty slots) and the accepted count.
 
     Identical accept sequence to `_postprocess_packed`: candidates in
     flux-descending order, accepted unless within 3 px of an earlier
-    accept."""
+    accept. The scan walks only the ``scan_cap`` brightest candidates
+    — the output is the top ``n_keep`` deduped stars, so this differs
+    from the full walk only if > scan_cap − n_keep of the brightest
+    scan_cap candidates are 3-px duplicates (a sequential 1024-step
+    scan costs ~4.7 ms on v5e; 256 steps ~1.2 ms)."""
     cys, cxs, fluxes = packed[0], packed[1], packed[2]
     valid = packed[8] > 0.5
-    order = jnp.argsort(jnp.where(valid, -fluxes, jnp.inf))
+    order = jnp.argsort(jnp.where(valid, -fluxes, jnp.inf))[:scan_cap]
     ys = jnp.take(cys, order)
     xs = jnp.take(cxs, order)
     val = jnp.take(valid, order)
