@@ -221,3 +221,34 @@ def test_rl_packed_convolve_matches_unpacked(rng):
         est = np.maximum(est * conv(ratio, np.conj(K)), 0.0)
     np.testing.assert_allclose(np.asarray(res.image), est,
                                rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("n,expect", [(2111, 2176), (100, 104),
+                                      (4096, 4096), (5000, 5120)])
+def test_next_fast_size(n, expect):
+    m = F.next_fast_size(n)
+    assert m == expect
+    assert m >= n
+    if m > F._DIRECT_MAX:
+        n1, n2 = F._split(m)
+        assert n1 * n2 == m and n2 <= F._DIRECT_MAX
+        assert m % 128 == 0
+
+
+@pytest.mark.parametrize("n", [2176, 2304, 5120])
+def test_fft_composite_sizes_match_numpy(n, rng):
+    """next_fast_size pads are non-power-of-two composites — the
+    four-step engine must stay exact there (used by RL's linear
+    convolution pads; deconvolution.rs:47 contract)."""
+    x = rng.random((2, n)).astype(np.float32)
+    ref = np.fft.fft(x)
+    fr, fi = jax.jit(F.fft)(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)))
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    np.testing.assert_allclose(got, ref, atol=3e-5 * np.abs(ref).max())
+
+
+def test_rfft2_composite_roundtrip(rng):
+    x = rng.random((416, 544)).astype(np.float32)  # 416=32·13, 544=32·17
+    xr, xi = F.rfft2(jnp.asarray(x))
+    back = F.irfft2(xr, xi, 544)
+    np.testing.assert_allclose(np.asarray(back), x, atol=2e-5)
