@@ -366,26 +366,22 @@ def _ransac_device(mx, my, mu, mv, mvalid, cnt, rows: int, cols: int,
     return params, ok, best_inl, resid
 
 
-@partial(jax.jit, static_argnames=(
-    "tile_size", "max_peaks", "m_v", "m_h", "nbits_v", "nbits_h",
-    "interpret"))
-def _fused_align_warp(ref: jax.Array, tgt: jax.Array, tile_size: int,
-                      max_peaks: int, m_v: int, m_h: int, nbits_v: int,
-                      nbits_h: int, interpret: bool = False):
-    rows, cols = ref.shape
-    ref_n = A._normalize_kernel(ref)[0]
-    tgt_n = A._normalize_kernel(tgt)[0]
+def _detect_device(plane, tile_size: int, max_peaks: int):
+    """normalize → background → detect → dedupe-top60 (traced body)."""
+    pn = A._normalize_kernel(plane)[0]
+    bg_med, bg_sig = SD._estimate_background_kernel(pn, tile_size)
+    packed = SD._detect_kernel(pn, bg_med, bg_sig,
+                               A.DETECTION_SIGMA, max_peaks)
+    return _dedupe_topk(packed)
 
-    def detect(plane):
-        bg_med, bg_sig = SD._estimate_background_kernel(plane, tile_size)
-        packed = SD._detect_kernel(plane, bg_med, bg_sig,
-                                   A.DETECTION_SIGMA, max_peaks)
-        return _dedupe_topk(packed)
 
-    rxs, rys, rn = detect(ref_n)
-    txs, tys, tn = detect(tgt_n)
-
-    rr_t, rv_t = _device_triangles(rxs, rys)
+def _chain_body(rxs, rys, rn, rr_t, rv_t, tgt, tile_size: int,
+                max_peaks: int, m_v: int, m_h: int, nbits_v: int,
+                nbits_h: int, interpret: bool):
+    """Everything after reference-star detection: detect the target,
+    triangles, vote, greedy match, RANSAC ×2, gates, shear warp."""
+    rows, cols = tgt.shape
+    txs, tys, tn = _detect_device(tgt, tile_size, max_peaks)
     tr_t, tv_t = _device_triangles(txs, tys)
     votes = vote_pallas(rr_t, rv_t, tr_t, tv_t, interpret=interpret)
 
@@ -433,8 +429,67 @@ def _fused_align_warp(ref: jax.Array, tgt: jax.Array, tile_size: int,
     return warped, info
 
 
+@partial(jax.jit, static_argnames=(
+    "tile_size", "max_peaks", "m_v", "m_h", "nbits_v", "nbits_h",
+    "interpret"))
+def _fused_align_warp(ref: jax.Array, tgt: jax.Array, tile_size: int,
+                      max_peaks: int, m_v: int, m_h: int, nbits_v: int,
+                      nbits_h: int, interpret: bool = False):
+    rxs, rys, rn = _detect_device(ref, tile_size, max_peaks)
+    rr_t, rv_t = _device_triangles(rxs, rys)
+    return _chain_body(rxs, rys, rn, rr_t, rv_t, tgt, tile_size,
+                       max_peaks, m_v, m_h, nbits_v, nbits_h, interpret)
+
+
+@partial(jax.jit, static_argnames=(
+    "tile_size", "max_peaks", "m_v", "m_h", "nbits_v", "nbits_h",
+    "interpret"))
+def _fused_align_warp_cached(rxs, rys, rn, rr_t, rv_t, tgt,
+                             tile_size: int, max_peaks: int, m_v: int,
+                             m_h: int, nbits_v: int, nbits_h: int,
+                             interpret: bool = False):
+    return _chain_body(rxs, rys, rn, rr_t, rv_t, tgt, tile_size,
+                       max_peaks, m_v, m_h, nbits_v, nbits_h, interpret)
+
+
+@partial(jax.jit, static_argnames=("tile_size", "max_peaks"))
+def _detect_ref_jit(ref, tile_size: int, max_peaks: int):
+    xs, ys, n = _detect_device(ref, tile_size, max_peaks)
+    rr_t, rv_t = _device_triangles(xs, ys)
+    return xs, ys, n, rr_t, rv_t
+
+
+class RefStars:
+    """Device-resident reference-channel star set (positions +
+    triangle descriptors), detected once and reused across every
+    target aligned to the same reference — compose aligns G and B to
+    R, so the reference detection (~18 ms of the ~48 ms chain) would
+    otherwise run per channel."""
+
+    __slots__ = ("xs", "ys", "n", "ratios_t", "verts_t", "shape",
+                 "max_peaks")
+
+    def __init__(self, xs, ys, n, ratios_t, verts_t, shape, max_peaks):
+        self.xs, self.ys, self.n = xs, ys, n
+        self.ratios_t, self.verts_t = ratios_t, verts_t
+        self.shape = shape
+        self.max_peaks = max_peaks
+
+
+def detect_ref_stars(reference, max_peaks: int = SD.MAX_PEAKS
+                     ) -> RefStars:
+    """Detect + describe the reference channel's stars on device for
+    reuse via ``align_and_warp(..., ref_stars=...)``."""
+    ref = jnp.asarray(reference, jnp.float32)
+    rows, cols = ref.shape
+    tile_size = min(max(min(rows, cols) // 8, 32), 256)
+    xs, ys, n, rr_t, rv_t = _detect_ref_jit(ref, tile_size, max_peaks)
+    return RefStars(xs, ys, n, rr_t, rv_t, ref.shape, max_peaks)
+
+
 def align_and_warp(reference, target, envelope: float = 0.035,
-                   max_peaks: int = SD.MAX_PEAKS
+                   max_peaks: int = SD.MAX_PEAKS,
+                   ref_stars: RefStars | None = None,
                    ) -> Tuple[jax.Array, "A.AffineAlignResult"]:
     """Fused align + warp: one device program, one host fetch (the
     small info vector); the warped plane stays on device.
@@ -442,7 +497,8 @@ def align_and_warp(reference, target, envelope: float = 0.035,
     ``envelope`` bounds |c/a| and |b| for the static shear pads
     (0.035 ≈ ±2° rotation). Transforms outside it — or chains that
     fail entirely — fall back to the host path / phase correlation,
-    exactly like `align_channel_affine`.
+    exactly like `align_channel_affine`. Pass ``ref_stars`` (from
+    :func:`detect_ref_stars`) to skip re-detecting the reference.
     """
     ref = jnp.asarray(reference, jnp.float32)
     tgt = jnp.asarray(target, jnp.float32)
@@ -460,9 +516,21 @@ def align_and_warp(reference, target, envelope: float = 0.035,
     nbits_h = max(int(span_h) + 1, 1).bit_length()
     interpret = jax.default_backend() != "tpu"
 
-    warped, info = _fused_align_warp(ref, tgt, tile_size, max_peaks,
-                                     m_v, m_h, nbits_v, nbits_h,
-                                     interpret)
+    if ref_stars is not None:
+        if (ref_stars.shape != ref.shape
+                or ref_stars.max_peaks != max_peaks):
+            raise ValueError("ref_stars were detected for shape "
+                             f"{ref_stars.shape}/max_peaks="
+                             f"{ref_stars.max_peaks}; got {ref.shape}/"
+                             f"{max_peaks}")
+        warped, info = _fused_align_warp_cached(
+            ref_stars.xs, ref_stars.ys, ref_stars.n, ref_stars.ratios_t,
+            ref_stars.verts_t, tgt, tile_size, max_peaks, m_v, m_h,
+            nbits_v, nbits_h, interpret)
+    else:
+        warped, info = _fused_align_warp(ref, tgt, tile_size, max_peaks,
+                                         m_v, m_h, nbits_v, nbits_h,
+                                         interpret)
     info = np.asarray(info)   # the ONE host fetch
     params = info[:6]
     method = int(info[6])

@@ -46,12 +46,15 @@ def estimate_offset(reference, target, method: AlignMethod):
 
 
 def align_pair(reference, target, method: AlignMethod, rows: int,
-               cols: int) -> AlignPairResult:
+               cols: int, ref_stars=None) -> AlignPairResult:
     if method == AlignMethod.AFFINE:
         if jax.default_backend() == "tpu":
-            # one device program, one host fetch (fused_chain)
+            # one device program, one host fetch (fused_chain);
+            # ref_stars (fused_chain.detect_ref_stars) skips
+            # re-detecting a shared reference channel
             from astroburst_tpu.alignment.fused_chain import align_and_warp
-            warped, result = align_and_warp(reference, target)
+            warped, result = align_and_warp(reference, target,
+                                            ref_stars=ref_stars)
         else:
             result = align_channel_affine(reference, target)
             warped = warp_image(target, result.transform, rows, cols)
@@ -72,8 +75,10 @@ def align_pair(reference, target, method: AlignMethod, rows: int,
 
 
 def align_pair_with_label(reference, target, method: AlignMethod, rows: int,
-                          cols: int, label: str) -> AlignPairResult:
-    result = align_pair(reference, target, method, rows, cols)
+                          cols: int, label: str,
+                          ref_stars=None) -> AlignPairResult:
+    result = align_pair(reference, target, method, rows, cols,
+                        ref_stars=ref_stars)
     log.info("%s alignment: %s, offset=(%.2f, %.2f), confidence=%.4f, "
              "inliers=%d", label, result.method_used, result.offset[0],
              result.offset[1], result.confidence, result.inliers)

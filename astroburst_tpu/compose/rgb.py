@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from astroburst_tpu.alignment.pair import align_pair_with_label
+from astroburst_tpu.dtypes import AlignMethod
 from astroburst_tpu.compose.white_balance import select_wb_reference
 from astroburst_tpu.constants import MAX_DIMENSION_RATIO, PADDING_THRESHOLD
 from astroburst_tpu.dtypes import (ImageStats,
@@ -123,11 +124,23 @@ def align_rgb_channels(r, g, b, rows: int, cols: int, method):
     b_img = channel_or_synth(b, r, g, rows, cols)
     off_g = (0.0, 0.0)
     off_b = (0.0, 0.0)
+    n_aligns = (g is not None) + (b is not None)
+    ref_stars = None
+    if (n_aligns == 2 and method == AlignMethod.AFFINE
+            and jax.default_backend() == "tpu"
+            and jnp.asarray(ref).shape == (rows, cols)
+            and min(rows, cols) >= 16):
+        # both aligns share the reference channel: detect its stars
+        # once (~18 ms of the ~48 ms fused chain per align)
+        from astroburst_tpu.alignment.fused_chain import detect_ref_stars
+        ref_stars = detect_ref_stars(ref)
     if g is not None:
-        res = align_pair_with_label(ref, g_img, method, rows, cols, "G")
+        res = align_pair_with_label(ref, g_img, method, rows, cols, "G",
+                                    ref_stars=ref_stars)
         g_img, off_g = res.aligned, res.offset
     if b is not None:
-        res = align_pair_with_label(ref, b_img, method, rows, cols, "B")
+        res = align_pair_with_label(ref, b_img, method, rows, cols, "B",
+                                    ref_stars=ref_stars)
         b_img, off_b = res.aligned, res.offset
     return r_img, g_img, b_img, off_g, off_b
 

@@ -175,3 +175,25 @@ def test_fused_align_starless_fallback():
     b = np.roll(a, (4, 3), axis=(0, 1))
     _, res = FC.align_and_warp(a, b)
     assert res.method in ("phase_correlation", "identity")
+
+
+def test_ref_stars_cached_path_identical():
+    img = make_star_field(seed=5)
+    t = A.AffineTransform(tx=4.0, ty=-3.0)
+    target = np.asarray(A.warp_image(img, invert(t), 256, 256))
+    w_direct, r_direct = FC.align_and_warp(img, target)
+    stars = FC.detect_ref_stars(img)
+    w_cached, r_cached = FC.align_and_warp(img, target, ref_stars=stars)
+    assert r_cached.method == r_direct.method
+    assert r_cached.inliers == r_direct.inliers
+    assert r_cached.transform.as_tuple() == r_direct.transform.as_tuple()
+    np.testing.assert_array_equal(np.asarray(w_cached),
+                                  np.asarray(w_direct))
+
+
+def test_ref_stars_shape_mismatch_rejected():
+    img = make_star_field(seed=5)
+    stars = FC.detect_ref_stars(img)
+    other = np.zeros((128, 256), np.float32)
+    with pytest.raises(ValueError):
+        FC.align_and_warp(other, other, ref_stars=stars)
