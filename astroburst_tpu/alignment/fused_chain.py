@@ -414,8 +414,11 @@ def _chain_body(rxs, rys, rn, rr_t, rv_t, tgt, tile_size: int,
               (span_v < 2.0 ** nbits_v - 1) & (span_h < 2.0 ** nbits_h - 1))
     safe_params = jnp.where(env_ok & (method > 0), params,
                             jnp.asarray([1., 0., 0., 0., 1., 0.]))
+    # envelope-sized nbits: most transforms use few bits — skip the
+    # empty bit passes at runtime
     warped = _warp_shear_impl(tgt, safe_params, rows, cols,
-                              m_v, m_h, nbits_v, nbits_h)
+                              m_v, m_h, nbits_v, nbits_h,
+                              skip_empty_bits=True)
 
     inliers = jnp.where(use_aff, inl_aff, jnp.where(use_rig, inl_rig, 0))
     resid = jnp.where(use_aff, res_aff, jnp.where(use_rig, res_rig, 0.0))

@@ -55,23 +55,37 @@ def _bucket(m: int) -> int:
 
 
 def _bit_shear(img: jax.Array, shifts: jax.Array, nbits: int,
-               axis: int) -> jax.Array:
+               axis: int, skip_empty_bits: bool = False) -> jax.Array:
     """sheared[.., v, ..] = img[.., v + shifts[..], ..] (circular).
 
     ``shifts`` is a non-negative int32 vector along the OTHER axis
     (per-column shifts for axis=0, per-row for axis=1), each
     < 2**nbits.  Each bit costs one roll (free) + one select pass.
+
+    ``skip_empty_bits`` wraps each pass in a lax.cond that skips it
+    when no row/column sets that bit — for ENVELOPE-sized nbits
+    (the fused align chain: a 0.4° rotation uses 4 of 7 bits). Leave
+    it off when nbits is sized to the actual transform (host
+    warp_shear): every bit is then live and the conds are overhead.
     """
     mask_shape = (1, -1) if axis == 0 else (-1, 1)
     out = img
     for k in range(nbits):
         bit = ((shifts >> k) & 1).reshape(mask_shape)
-        out = jnp.where(bit == 1, jnp.roll(out, -(1 << k), axis=axis), out)
+        if skip_empty_bits:
+            def _apply(o, bit=bit, k=k):
+                return jnp.where(bit == 1,
+                                 jnp.roll(o, -(1 << k), axis=axis), o)
+            out = jax.lax.cond(jnp.any(bit == 1), _apply, lambda o: o, out)
+        else:
+            out = jnp.where(bit == 1, jnp.roll(out, -(1 << k), axis=axis),
+                            out)
     return out
 
 
 def _resample_axis(img: jax.Array, base_f: jax.Array, cross_f: jax.Array,
-                   m: int, nbits: int, axis: int) -> jax.Array:
+                   m: int, nbits: int, axis: int,
+                   skip_empty_bits: bool = False) -> jax.Array:
     """Separable Catmull-Rom resample along ``axis``.
 
     Sample position for output index i (along axis) and cross index u:
@@ -87,7 +101,8 @@ def _resample_axis(img: jax.Array, base_f: jax.Array, cross_f: jax.Array,
     s_i = jnp.round(s_f).astype(jnp.int32)
     rho = s_f - s_i.astype(jnp.float32)            # [-0.5, 0.5]
     s_min = jnp.min(jnp.stack([s_i[0], s_i[-1]]))  # linear → ends extreme
-    sheared = _bit_shear(img_p, s_i - s_min, nbits, axis)
+    sheared = _bit_shear(img_p, s_i - s_min, nbits, axis,
+                         skip_empty_bits)
 
     i0 = jnp.round(base_f).astype(jnp.int32)
     alpha = base_f - i0.astype(jnp.float32)        # [-0.5, 0.5]
@@ -117,10 +132,11 @@ def _resample_axis(img: jax.Array, base_f: jax.Array, cross_f: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("out_rows", "out_cols", "m_v", "m_h",
-                                   "nbits_v", "nbits_h"))
+                                   "nbits_v", "nbits_h",
+                                   "skip_empty_bits"))
 def _warp_shear_impl(image: jax.Array, params: jax.Array, out_rows: int,
                      out_cols: int, m_v: int, m_h: int, nbits_v: int,
-                     nbits_h: int) -> jax.Array:
+                     nbits_h: int, skip_empty_bits: bool = False) -> jax.Array:
     src_rows, src_cols = image.shape
     a, b, tx, c, d, ty = [params[i] for i in range(6)]
     # pass 1 (vertical): tmp[y, u] = img[p·y + q·u + r, u]
@@ -131,11 +147,13 @@ def _warp_shear_impl(image: jax.Array, params: jax.Array, out_rows: int,
     r = ty - q * tx
     y = jnp.arange(out_rows, dtype=jnp.float32)
     u = jnp.arange(src_cols, dtype=jnp.float32)
-    tmp = _resample_axis(image, p * y + r, q * u, m_v, nbits_v, axis=0)
+    tmp = _resample_axis(image, p * y + r, q * u, m_v, nbits_v,
+                         axis=0, skip_empty_bits=skip_empty_bits)
 
     # pass 2 (horizontal): out[y, x] = tmp[y, a·x + b·y + tx]
     x = jnp.arange(out_cols, dtype=jnp.float32)
-    out = _resample_axis(tmp, a * x + tx, b * y, m_h, nbits_h, axis=1)
+    out = _resample_axis(tmp, a * x + tx, b * y, m_h, nbits_h,
+                         axis=1, skip_empty_bits=skip_empty_bits)
 
     sx = a * x[None, :] + b * y[:, None] + tx
     sy = c * x[None, :] + d * y[:, None] + ty
