@@ -134,8 +134,10 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
         rowf = (row0 - out_off + base_ref[2]).astype(jnp.float32)
         colf = col0.astype(jnp.float32)
 
-        vals = []
-        for k in range(n):
+        def frame_tile(k, edge_fix: bool):
+            """Frame k's aligned (s_r, s_c) source tile. edge_fix
+            replicates the clamped rows/cols (sampling.rs clamp_index);
+            interior blocks skip it — see the is_interior bound."""
             sr = row0 - 1 + shift_ref[k, 0]
             sc = col0 - 1 + shift_ref[k, 1]
             t0 = scratch[slot, k]
@@ -144,70 +146,97 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
             # roll run on the small tile
             tr = pltpu.roll(t0, (f_r - ((sr - ry) % f_r)) % f_r,
                             0)[0:s_r, :]
-            # edge replication (sampling.rs clamp_index): source row 0
-            # sits at VMEM row 0 whenever sr < 0 (the fetch clamp
-            # forces ry = 0); row h-1 / col w-1 via dynamic single-row
-            # slices of the unrolled tile
-            # (Mosaic has no dynamic_slice on values — extract the
-            # dynamic-position edge rows/cols with rolls: sublane roll
-            # on the full tile, lane roll on the sliced tile)
-            top = t0[0:1, :]
-            bot = pltpu.roll(t0, (f_r - ((h - 1 - ry) % f_r)) % f_r,
-                             0)[0:1, :]
-            tr = jnp.where(jrow + sr < 0, top, tr)
-            tr = jnp.where(jrow + sr > h - 1, bot, tr)
-            # columns, on the row-fixed tile (corners replicate both axes)
-            tc = pltpu.roll(tr, (f_c - ((sc - cx) % f_c)) % f_c,
-                            1)[:, 0:s_c]
-            left = tr[:, 0:1]
-            right = pltpu.roll(tr, (f_c - ((w - 1 - cx) % f_c)) % f_c,
-                               1)[:, 0:1]
-            tc = jnp.where(icol + sc < 0, left, tc)
-            tc = jnp.where(icol + sc > w - 1, right, tc)
-
-            # true zero shift returns raw pixels (align.rs:37-39) — the
-            # zero-weight taps would otherwise bleed NaN around dead
-            # pixels on the reference frame. With a STATIC zero_frames
-            # list (the pipeline aligns to frame 0, so k=0 is zero by
-            # construction; align=False makes every frame zero) the
-            # whole CR tap stack and the per-frame runtime select
-            # compile away — the r2 parity select cost ~2 ms/run
-            # across 16 frames. zero_frames=None keeps the runtime
-            # select for arbitrary offsets.
-            if zero_frames is not None and k in zero_frames:
-                picked = tc[1:1 + block_h, 1:1 + block_w]
+            if edge_fix:
+                # edge replication: source row 0 sits at VMEM row 0
+                # whenever sr < 0 (the fetch clamp forces ry = 0);
+                # row h-1 / col w-1 via dynamic single-row slices of
+                # the unrolled tile (Mosaic has no dynamic_slice on
+                # values — extract the dynamic-position edge rows/cols
+                # with rolls: sublane roll on the full tile, lane roll
+                # on the sliced tile)
+                top = t0[0:1, :]
+                bot = pltpu.roll(t0, (f_r - ((h - 1 - ry) % f_r)) % f_r,
+                                 0)[0:1, :]
+                tr2 = jnp.where(jrow + sr < 0, top, tr)
+                tr2 = jnp.where(jrow + sr > h - 1, bot, tr2)
             else:
-                wy = _cr_weights(frac_ref[k, 0])
-                wx = _cr_weights(frac_ref[k, 1])
-                tmp = None
-                for j in range(4):
-                    term = wy[j] * tc[j:j + block_h, :]
-                    tmp = term if tmp is None else tmp + term
-                out = None
-                for j in range(4):
-                    term = wx[j] * tmp[:, j:j + block_w]
-                    out = term if out is None else out + term
-                if zero_frames is None:
-                    zero_k = ((shift_ref[k, 0] == 0) &
-                              (shift_ref[k, 1] == 0) &
-                              (frac_ref[k, 0] == 0.0) &
-                              (frac_ref[k, 1] == 0.0))
-                    center = tc[1:1 + block_h, 1:1 + block_w]
-                    out = jnp.where(zero_k, center, out)
-                picked = out
-            # outside-source pixels are exactly 0 (align.rs:48-51)
-            dy = shift_ref[k, 0].astype(jnp.float32) + frac_ref[k, 0]
-            dx = shift_ref[k, 1].astype(jnp.float32) + frac_ref[k, 1]
-            sy = yy + rowf + dy
-            sx = xx + colf + dx
-            inside = ((sy >= -0.5) & (sy <= gh - 0.5) & (sx >= -0.5) &
-                      (sx <= w - 0.5))
-            vals.append(jnp.where(inside, picked, 0.0))
+                tr2 = tr
+            # columns, on the row-fixed tile (corners replicate both)
+            tc = pltpu.roll(tr2, (f_c - ((sc - cx) % f_c)) % f_c,
+                            1)[:, 0:s_c]
+            if edge_fix:
+                left = tr2[:, 0:1]
+                right = pltpu.roll(tr2,
+                                   (f_c - ((w - 1 - cx) % f_c)) % f_c,
+                                   1)[:, 0:1]
+                tc = jnp.where(icol + sc < 0, left, tc)
+                tc = jnp.where(icol + sc > w - 1, right, tc)
+            return tc
 
-        combined, rejected = _clip_body(vals, sigma_low, sigma_high,
-                                        max_iter)
-        out_ref[:] = combined
-        rej_ref[:] = rejected
+        def body(edge_fix: bool):
+            vals = []
+            for k in range(n):
+                tc = frame_tile(k, edge_fix)
+                # true zero shift returns raw pixels (align.rs:37-39) —
+                # the zero-weight taps would otherwise bleed NaN around
+                # dead pixels on the reference frame. With a STATIC
+                # zero_frames list (the pipeline aligns to frame 0, so
+                # k=0 is zero by construction; align=False makes every
+                # frame zero) the whole CR tap stack and the per-frame
+                # runtime select compile away — the r2 parity select
+                # cost ~2 ms/run across 16 frames. zero_frames=None
+                # keeps the runtime select for arbitrary offsets.
+                if zero_frames is not None and k in zero_frames:
+                    picked = tc[1:1 + block_h, 1:1 + block_w]
+                else:
+                    wy = _cr_weights(frac_ref[k, 0])
+                    wx = _cr_weights(frac_ref[k, 1])
+                    tmp = None
+                    for j in range(4):
+                        term = wy[j] * tc[j:j + block_h, :]
+                        tmp = term if tmp is None else tmp + term
+                    out = None
+                    for j in range(4):
+                        term = wx[j] * tmp[:, j:j + block_w]
+                        out = term if out is None else out + term
+                    if zero_frames is None:
+                        zero_k = ((shift_ref[k, 0] == 0) &
+                                  (shift_ref[k, 1] == 0) &
+                                  (frac_ref[k, 0] == 0.0) &
+                                  (frac_ref[k, 1] == 0.0))
+                        center = tc[1:1 + block_h, 1:1 + block_w]
+                        out = jnp.where(zero_k, center, out)
+                    picked = out
+                # outside-source pixels are exactly 0 (align.rs:48-51)
+                dy = shift_ref[k, 0].astype(jnp.float32) + frac_ref[k, 0]
+                dx = shift_ref[k, 1].astype(jnp.float32) + frac_ref[k, 1]
+                sy = yy + rowf + dy
+                sx = xx + colf + dx
+                inside = ((sy >= -0.5) & (sy <= gh - 0.5) &
+                          (sx >= -0.5) & (sx <= w - 0.5))
+                vals.append(jnp.where(inside, picked, 0.0))
+
+            combined, rejected = _clip_body(vals, sigma_low, sigma_high,
+                                            max_iter)
+            out_ref[:] = combined
+            rej_ref[:] = rejected
+
+        # a block is interior when NO allowed shift (|k| ≤ off_max) can
+        # clamp a tap row/col: the edge-replication selects and their
+        # two extraction rolls per frame are then dead — ~40% of the
+        # per-frame VPU work on ~3/4 of the blocks at bench scale
+        is_interior = ((row0 >= off_max + 1) &
+                       (row0 <= h - block_h - off_max - 3) &
+                       (col0 >= off_max + 1) &
+                       (col0 <= w - block_w - off_max - 3))
+
+        @pl.when(is_interior)
+        def _fast():
+            body(edge_fix=False)
+
+        @pl.when(jnp.logical_not(is_interior))
+        def _full():
+            body(edge_fix=True)
 
     return kernel
 
