@@ -225,6 +225,22 @@ def blend_channels_cmd(channel_paths: Sequence[str],
     }
 
 
+def _shared_ref_stars(ref_image, method, n_targets: int, rows: int,
+                      cols: int):
+    """Detect the reference channel's stars once when several targets
+    align to it on the TPU fused path (fused_chain.detect_ref_stars);
+    None otherwise — align_pair then behaves exactly as before."""
+    import jax
+
+    from astroburst_tpu.dtypes import AlignMethod
+    if (n_targets < 2 or method != AlignMethod.AFFINE
+            or jax.default_backend() != "tpu"
+            or min(rows, cols) < 16):
+        return None
+    from astroburst_tpu.alignment.fused_chain import detect_ref_stars
+    return detect_ref_stars(ref_image)
+
+
 def align_channels_cmd(paths: Sequence[str], output_dir: str = "",
                        align_method: Optional[str] = None,
                        bin_ids: Optional[Sequence[str]] = None,
@@ -241,6 +257,8 @@ def align_channels_cmd(paths: Sequence[str], output_dir: str = "",
     entries = load_many_from_cache_or_disk(paths)
     ref_entry = entries[0]
     rows, cols = ref_entry.image.shape
+    ref_stars = _shared_ref_stars(ref_entry.image, method,
+                                  len(paths) - 1, rows, cols)
     results = []
     cache_keys = []
     ids = list(bin_ids) if bin_ids else [f"ch{i}" for i in range(len(paths))]
@@ -259,7 +277,8 @@ def align_channels_cmd(paths: Sequence[str], output_dir: str = "",
             continue
         entry = entries[i]
         res = align_pair_with_label(ref_entry.image, entry.image, method,
-                                    rows, cols, bin_id)
+                                    rows, cols, bin_id,
+                                    ref_stars=ref_stars)
         stats = compute_image_stats(res.aligned)
         GLOBAL_IMAGE_CACHE.insert(key, res.aligned, stats=stats,
                                   header=entry.header)
@@ -349,6 +368,8 @@ def export_aligned_channels_cmd(paths: Sequence[str], output_dir: str = "",
     method = helpers.parse_align_method(align_method)
     ref_entry = load_from_cache_or_disk(paths[0])
     rows, cols = ref_entry.image.shape
+    ref_stars = _shared_ref_stars(ref_entry.image, method,
+                                  len(paths) - 1, rows, cols)
     exported = []
     for i, p in enumerate(paths):
         stem = os.path.splitext(os.path.basename(p))[0]
@@ -360,7 +381,8 @@ def export_aligned_channels_cmd(paths: Sequence[str], output_dir: str = "",
             continue
         entry = load_from_cache_or_disk(p)
         res = align_pair_with_label(ref_entry.image, entry.image, method,
-                                    rows, cols, stem)
+                                    rows, cols, stem,
+                                    ref_stars=ref_stars)
         header = entry.header.copy() if entry.header else None
         if header is not None:
             crpix1 = header.get_f64("CRPIX1")
