@@ -197,3 +197,48 @@ def test_ref_stars_shape_mismatch_rejected():
     other = np.zeros((128, 256), np.float32)
     with pytest.raises(ValueError):
         FC.align_and_warp(other, other, ref_stars=stars)
+
+
+@pytest.mark.parametrize("method", ["affine", "rigid"])
+def test_ransac_device_matches_host(method):
+    """_ransac_device vs the host ransac_affine on the same matches —
+    same hypothesis table (affine._RANSAC_U), so the winning transform
+    must agree to f32 tolerance (affine.rs:400-517)."""
+    import math
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 40
+    rows, cols = 512, 640
+    rx = rng.uniform(20, cols - 20, n)
+    ry = rng.uniform(20, rows - 20, n)
+    th = math.radians(0.8)
+    ct, st = math.cos(th), math.sin(th)
+    tx_ = ct * rx - st * ry + 6.0 + rng.normal(0, 0.05, n)
+    ty_ = st * rx + ct * ry - 3.0 + rng.normal(0, 0.05, n)
+    # a few gross outliers
+    tx_[::13] += 40.0
+
+    host = A.ransac_affine(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(rx, ry, tx_, ty_)], method)
+    assert host is not None
+
+    cap = FC.STAR_CAP
+    pad = cap - n
+    mx = jnp.asarray(np.pad(rx, (0, pad)).astype(np.float32))
+    my = jnp.asarray(np.pad(ry, (0, pad)).astype(np.float32))
+    mu = jnp.asarray(np.pad(tx_, (0, pad)).astype(np.float32))
+    mv = jnp.asarray(np.pad(ty_, (0, pad)).astype(np.float32))
+    mvalid = jnp.arange(cap) < n
+    params, ok, inl, resid = FC._ransac_device(
+        mx, my, mu, mv, mvalid, jnp.int32(n), rows, cols, method)
+    assert bool(ok)
+    got = np.asarray(params, np.float64)
+    want = np.array(host.transform.as_tuple())
+    # translations are O(10) px, linear parts O(1): scale tolerances
+    np.testing.assert_allclose(got[[0, 1, 3, 4]], want[[0, 1, 3, 4]],
+                               atol=5e-4)
+    np.testing.assert_allclose(got[[2, 5]], want[[2, 5]], atol=0.25)
+    assert int(inl) == host.inliers
