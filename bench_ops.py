@@ -292,7 +292,30 @@ def bench_affine_align(h=5655, w=2206, n_stars=90):
     rot = res.transform.rotation_deg()
     # the recovered transform maps target→reference (inverse sense)
     ok = res.method in ("affine", "rigid") and abs(abs(rot) - 0.4) < 0.1
-    return best * 1e3, res.method, ok
+
+    # device-only latency of the fused program (K-batched, checksums
+    # reduced on device, one fetch) — the wall number above carries the
+    # tunnel's ~30 ms info-fetch RTT on every call
+    from astroburst_tpu.alignment import fused_chain as FC
+    from astroburst_tpu.analysis import star_detection as SD
+    from astroburst_tpu.alignment.warp_shear import _bucket
+    tile = min(max(min(h, w) // 8, 32), 256)
+    env = 0.035
+    span_v = env * (w - 1)
+    span_h = env * (h - 1)
+    m_v = _bucket(int(span_v) + 4)
+    m_h = _bucket(int(span_h) + 4)
+    nb_v = max(int(span_v) + 1, 1).bit_length()
+    nb_h = max(int(span_h) + 1, 1).bit_length()
+
+    def dev_call(i):
+        warped, info = FC._fused_align_warp(
+            ref_d, tgt_d + jnp.float32(i * 1e-6), tile, SD.MAX_PEAKS,
+            m_v, m_h, nb_v, nb_h, False)
+        return jnp.sum(info) + warped[0, 0]
+
+    dev_ms = _device_time_ms(dev_call, K=4)
+    return best * 1e3, dev_ms, res.method, ok
 
 
 def bench_drizzle():
@@ -485,8 +508,10 @@ def run_all():
     log(f"  {ops['white_balance_4096x3']}")
 
     log("ops: affine channel alignment 5655×2206 …")
-    ms, method, ok = bench_affine_align()
-    ops["affine_align_5655"] = {"ms": round(ms, 1), "ref_ms": 800.0,
+    ms, dev_ms, method, ok = bench_affine_align()
+    ops["affine_align_5655"] = {"ms": round(ms, 1),
+                                "device_ms": round(dev_ms, 1),
+                                "ref_ms": 800.0,
                                 "method": method, "recovered": ok}
     log(f"  {ops['affine_align_5655']}")
 
