@@ -46,9 +46,13 @@ def _make_tile_sort_kernel(step: int):
     k_lane = step.bit_length() - 1  # lane bits (minor axis)
     total_bits = 2 * k_lane
 
-    def kernel(plane_ref, out_ref):
+    def kernel(plane_ref, out_ref, cnt_ref):
         x = plane_ref[...]
         valid = jnp.isfinite(x) & (x > PADDING_THRESHOLD)
+        # per-tile valid count, computed while the tile is already in
+        # registers (a separate XLA reshape-sum re-reads the plane)
+        cnt = jnp.sum(valid.astype(jnp.float32))
+        cnt_ref[...] = jnp.full(cnt_ref.shape, cnt, jnp.float32)
         x = jnp.where(valid, x, jnp.inf)
         idx_r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         idx_c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -84,18 +88,21 @@ def sort_tiles_pallas(padded: jax.Array, step: int,
         raise ValueError(f"step {step} must be pow2 dividing {rows}x{cols}")
     ty, tx = rows // step, cols // step
     kernel = _make_tile_sort_kernel(step)
-    out = pl.pallas_call(
+    out, cnt = pl.pallas_call(
         kernel,
         grid=(ty, tx),
         in_specs=[pl.BlockSpec((step, step), lambda i, j: (i, j))],
-        out_specs=pl.BlockSpec((1, 1, step, step),
-                               lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((ty, tx, step, step), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 1, step, step), lambda i, j: (i, j, 0, 0)),
+            # a full (8, 128) tile per grid cell carrying the broadcast
+            # count (a scalar per-tile output violates TPU block tiling)
+            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ty, tx, step, step), jnp.float32),
+            jax.ShapeDtypeStruct((ty, tx, 8, 128), jnp.float32),
+        ],
         interpret=interpret,
     )(padded)
-    # per-tile valid counts as a cheap XLA block reduction (a scalar
-    # per-tile kernel output violates TPU block tiling)
-    valid = jnp.isfinite(padded) & (padded > PADDING_THRESHOLD)
-    cnt = valid.reshape(ty, step, tx, step).sum(axis=(1, 3),
-                                                dtype=jnp.int32)
-    return out.reshape(ty * tx, step * step), cnt.reshape(ty * tx)
+    counts = cnt[:, :, 0, 0].astype(jnp.int32)
+    return out.reshape(ty * tx, step * step), counts.reshape(ty * tx)
