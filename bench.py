@@ -111,7 +111,35 @@ def bench_ingest_decode():
     return total_gb / best, cores
 
 
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """Backend init HANGS (never errors) when the axon tunnel is down —
+    probe it on a daemon thread so a dead tunnel fails fast with a
+    diagnosable JSON line instead of eating the driver's whole timeout."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+            jnp.ones((8, 128)).block_until_ready()
+            ok.append(True)
+        except Exception as e:  # pragma: no cover - infra failure path
+            log(f"backend probe error: {e}")
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "align+stack+stretch megapixels/sec/chip",
+            "value": 0, "unit": "Mpx/s", "vs_baseline": 0,
+            "error": "TPU backend unreachable (axon tunnel down?)"}))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
