@@ -153,9 +153,18 @@ def main():
     jax.block_until_ready(stack)
     log(f"padded stack: {stack.shape}")
 
-    fn = jax.jit(lambda s, eps: align_stack_stretch(
-        s + eps, sigma_low=3.0, sigma_high=3.0, max_iter=5, align=True,
-        true_shape=(H, W)))
+    # eps defeats the axon result cache by being a DISTINCT input per
+    # dispatch, but flows only into the returned dict — adding it to
+    # the stack itself (`s + eps`) materialized a full 1.9 GB copy
+    # inside the measured pipeline (~2-3 ms/run of pure
+    # anti-caching instrumentation)
+    def run_once(s, eps):
+        out = align_stack_stretch(s, sigma_low=3.0, sigma_high=3.0,
+                                  max_iter=5, align=True,
+                                  true_shape=(H, W))
+        return {**out, "salt": out["stf"][0] + eps}
+
+    fn = jax.jit(run_once)
 
     log("compiling…")
     t0 = time.perf_counter()
@@ -171,7 +180,7 @@ def main():
     # ~31 ms RTT and fetches serialize, so per-run fetches would
     # measure the tunnel, not the chip. A production ingest loop syncs
     # once per batch exactly like this.
-    checksum = jax.jit(lambda o: o["stf"][0]
+    checksum = jax.jit(lambda o: o["salt"]
                        + o["rejected"].astype(jnp.float32)
                        + o["preview"][0, 0].astype(jnp.float32))
     reduce_all = jax.jit(lambda *xs: sum(xs))
