@@ -42,8 +42,8 @@ def generate_gaussian_psf(size: int, sigma: float) -> np.ndarray:
     return val.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("fft_rows", "fft_cols"))
-def _psf_spectrum(psf, fft_rows: int, fft_cols: int):
+@partial(jax.jit, static_argnames=("fft_rows", "fft_cols", "fast"))
+def _psf_spectrum(psf, fft_rows: int, fft_cols: int, fast: bool = False):
     """Wraparound center-origin placement + half-spectrum FFT
     (deconvolution.rs:62-80).
 
@@ -62,7 +62,8 @@ def _psf_spectrum(psf, fft_rows: int, fft_cols: int):
     buf = jnp.zeros((fft_rows, fft_cols), jnp.float32)
     buf = jax.lax.dynamic_update_slice(buf, psf, (0, 0))
     buf = jnp.roll(buf, (-cy, -cx), axis=(0, 1))
-    return F.rfft2(buf)
+    with F.matmul_precision("default" if fast else "highest"):
+        return F.rfft2(buf)
 
 
 @dataclass
@@ -72,9 +73,14 @@ class RLResult:
     convergence: float
 
 
-@partial(jax.jit, static_argnames=("fft_cols", "iterations", "deringing"))
+@partial(jax.jit, static_argnames=("fft_cols", "iterations", "deringing",
+                                   "fast"))
 def _rl_kernel(image, psf_r, psf_i, lam, dering_threshold,
-               fft_cols: int, iterations: int, deringing: bool):
+               fft_cols: int, iterations: int, deringing: bool,
+               fast: bool = False):
+    # `fast` keys the jit cache: the FFT matmul precision is a
+    # trace-time switch (ops/fft.py matmul_precision), so each flag
+    # value must trace separately
     rows, cols = image.shape
     fft_rows = psf_r.shape[0]
     psf_conj_i = -psf_i
@@ -83,10 +89,11 @@ def _rl_kernel(image, psf_r, psf_i, lam, dering_threshold,
         # real-packed convolution: half-spectrum forward, pointwise on
         # C/2+1 columns, half-packed real inverse (ops/fft.py rfft2)
         buf = jnp.pad(x, ((0, fft_rows - rows), (0, fft_cols - cols)))
-        xr, xi = F.rfft2(buf)
-        pr = xr * kr - xi * ki
-        pi = xr * ki + xi * kr
-        out = F.irfft2(pr, pi, fft_cols)
+        with F.matmul_precision("default" if fast else "highest"):
+            xr, xi = F.rfft2(buf)
+            pr = xr * kr - xi * ki
+            pi = xr * ki + xi * kr
+            out = F.irfft2(pr, pi, fft_cols)
         return out[:rows, :cols]
 
     inv_reg = jnp.where(lam > 0.0, 1.0 / (1.0 + lam), 1.0)
@@ -124,7 +131,8 @@ def richardson_lucy(image, psf, config: RLConfig = RLConfig(),
     # wastes ~4× the FFT work at 2048²+small-PSF (4096 vs 2176)
     fft_rows = F.next_fast_size(rows + psf_np.shape[0] - 1)
     fft_cols = F.next_fast_size(cols + psf_np.shape[1] - 1)
-    psf_r, psf_i = _psf_spectrum(psf_np, fft_rows, fft_cols)
+    psf_r, psf_i = _psf_spectrum(psf_np, fft_rows, fft_cols,
+                                 fast=config.fast_precision)
 
     if progress is not None:
         progress.check_cancelled()
@@ -132,7 +140,7 @@ def richardson_lucy(image, psf, config: RLConfig = RLConfig(),
     est, iters, conv = _rl_kernel(
         img, psf_r, psf_i, jnp.float32(config.regularization),
         jnp.float32(config.dering_threshold), fft_cols,
-        config.iterations, config.dering)
+        config.iterations, config.dering, fast=config.fast_precision)
     if progress is not None:
         progress.tick_with_stage(f"done ({int(iters)} iterations)")
     return RLResult(image=est, iterations_run=int(iters),

@@ -239,6 +239,10 @@ class RLConfig:
     dering: bool = True
     dering_threshold: float = 0.1
     kernel_image: Optional[object] = None  # empirical PSF kernel (np array)
+    # TPU extension: run the FFT matmuls at the MXU's single-pass bf16
+    # precision (~6e-4 relative error per transform) instead of the
+    # 3-6-pass true-f32 default. Opt-in speed/accuracy trade.
+    fast_precision: bool = False
 
 
 # --- app config (types/config.rs:4-29) --------------------------------------

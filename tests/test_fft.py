@@ -252,3 +252,40 @@ def test_rfft2_composite_roundtrip(rng):
     xr, xi = F.rfft2(jnp.asarray(x))
     back = F.irfft2(xr, xi, 544)
     np.testing.assert_allclose(np.asarray(back), x, atol=2e-5)
+
+
+def test_rl_fast_precision_plumbing(rng):
+    """fast_precision reroutes the FFT matmuls through the DEFAULT-
+    precision trace (a distinct jit cache entry) and restores the
+    module default afterwards. On the CPU backend DEFAULT == HIGHEST
+    numerically, so the result must match exactly."""
+    import jax.numpy as jnp2
+    from astroburst_tpu.analysis.deconvolution import (
+        generate_gaussian_psf, richardson_lucy)
+    from astroburst_tpu.dtypes import RLConfig
+    from astroburst_tpu.ops import fft as F
+
+    img = rng.normal(50, 4, (64, 48)).astype(np.float32)
+    img[20:23, 30:33] += 400.0
+    psf = generate_gaussian_psf(9, 1.5)
+    slow = richardson_lucy(jnp2.asarray(img), psf,
+                           RLConfig(iterations=4, dering=False))
+    fast = richardson_lucy(jnp2.asarray(img), psf,
+                           RLConfig(iterations=4, dering=False,
+                                    fast_precision=True))
+    assert F._PRECISION is F._HIGHEST  # context restored after tracing
+    assert fast.iterations_run == slow.iterations_run
+    np.testing.assert_allclose(np.asarray(fast.image),
+                               np.asarray(slow.image), atol=1e-6)
+
+
+def test_matmul_precision_context_restores_on_error():
+    from astroburst_tpu.ops import fft as F
+
+    try:
+        with F.matmul_precision("default"):
+            assert F._PRECISION is not F._HIGHEST
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert F._PRECISION is F._HIGHEST
