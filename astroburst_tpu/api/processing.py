@@ -78,8 +78,12 @@ def deconvolve_rl_cmd(path: str, output_dir: str,
                       regularization: Optional[float] = None,
                       dering: Optional[bool] = None,
                       dering_threshold: Optional[float] = None,
-                      use_estimated_psf: Optional[bool] = None) -> dict:
-    """cmd/processing/deconvolution.rs:15 — RL with progress events."""
+                      use_estimated_psf: Optional[bool] = None,
+                      fast_precision: Optional[bool] = None) -> dict:
+    """cmd/processing/deconvolution.rs:15 — RL with progress events.
+    ``fast_precision`` is a TPU extension (single-pass-bf16 FFT
+    matmuls, ~6e-4 relative error); the default matches the reference's
+    true-f32 arithmetic."""
     t0 = Timer()
     out_dir = resolve_output_dir(output_dir)
     entry = load_cached(path)
@@ -89,7 +93,8 @@ def deconvolve_rl_cmd(path: str, output_dir: str,
         regularization=regularization or 0.0,
         dering=dering if dering is not None else True,
         dering_threshold=(dering_threshold if dering_threshold is not None
-                          else 0.1))
+                          else 0.1),
+        fast_precision=bool(fast_precision))
     if use_estimated_psf:
         from astroburst_tpu.imaging.psf_estimation import (estimate_psf,
                                                            psf_to_kernel)
