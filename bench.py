@@ -299,8 +299,11 @@ def main():
     # skippable via ASTROBURST_BENCH_HEADLINE_ONLY=1 for quick runs
     ops = {}
     if os.environ.get("ASTROBURST_BENCH_HEADLINE_ONLY", "0") != "1":
-        import bench_ops
-        ops = bench_ops.run_all()
+        try:
+            import bench_ops
+            ops = bench_ops.run_all()
+        except Exception as e:  # keep the headline JSON on a row failure
+            ops = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "align+stack+stretch megapixels/sec/chip "

@@ -343,10 +343,12 @@ def bench_drizzle():
     return _device_time_ms(call, K=2, trials=2)
 
 
-def bench_rl_deconv():
+def bench_rl_deconv(fast: bool = False):
     """Richardson-Lucy 20 iterations, 2048², 15×15 PSF (no published
     reference row; r2 measured 554 ms — the rfft2 packing target is
-    ≤200 ms)."""
+    ≤200 ms). Pads to the engine-fast size the production path uses
+    (2176, not 4096). fast=True measures the opt-in single-pass-bf16
+    matmul variant (RLConfig.fast_precision)."""
     jax, jnp = _jx()
     from astroburst_tpu.analysis.deconvolution import (
         _psf_spectrum, _rl_kernel, generate_gaussian_psf)
@@ -356,13 +358,13 @@ def bench_rl_deconv():
     img = jnp.asarray(rng.normal(100, 10, (2048, 2048)).astype(np.float32))
     img.block_until_ready()
     psf = generate_gaussian_psf(15, 2.0)
-    fr = F.next_power_of_two(2048 + 14)
-    kr, ki = _psf_spectrum(psf, fr, fr)
+    fr = F.next_fast_size(2048 + 14)
+    kr, ki = _psf_spectrum(psf, fr, fr, fast=fast)
 
     def call(i):
         est, iters, conv = _rl_kernel(
             img + jnp.float32(i * 1e-6), kr, ki, jnp.float32(0.0),
-            jnp.float32(0.1), fr, 20, False)
+            jnp.float32(0.1), fr, 20, False, fast=fast)
         return est[0, 0] + est[-1, -1] + conv
 
     return _device_time_ms(call, K=3)
@@ -535,6 +537,10 @@ def run_all():
         "ms": round(bench_rl_deconv(), 1), "ref_ms": None,
         "r2_ms": 554.0}
     log(f"  {ops['rl_deconv_2048_x20']}")
+    log("ops: RL deconvolution 2048²×20 fast_precision …")
+    ops["rl_deconv_2048_x20_fast"] = {
+        "ms": round(bench_rl_deconv(fast=True), 1), "ref_ms": None}
+    log(f"  {ops['rl_deconv_2048_x20_fast']}")
 
     log("ops: FITS RGB export 618 MB …")
     ms, mb = bench_fits_rgb_export()
