@@ -19,37 +19,46 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Tuple
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
-# trace-time matmul precision for every DFT stage in this module.
+# Trace-time matmul precision for every DFT stage in this module.
 # HIGHEST (true f32, ~3-6 bf16 MXU passes) is the default contract;
 # matmul_precision("default") lets opt-in callers (RL deconvolution's
 # fast_precision) trade ~6e-4 relative error for single-pass bf16
-# throughput. Read when a caller is TRACED, so callers that expose the
-# choice must split their jit cache on it (a static arg).
-_PRECISION = _HIGHEST
+# throughput. The value is read when a caller is TRACED, so callers
+# that expose the choice MUST split their jit cache on it (a static
+# arg — see analysis/deconvolution._rl_kernel); thread-local storage
+# keeps a trace on another thread (prefetch workers etc.) at the
+# HIGHEST default.
+_PREC_STATE = threading.local()
+
+
+def _prec():
+    return getattr(_PREC_STATE, "value", _HIGHEST)
 
 
 class matmul_precision:
     """Context manager: override the DFT matmul precision for code
-    traced inside. Accepts "highest" or "default"."""
+    traced inside. Accepts exactly "highest" or "default"."""
 
     def __init__(self, p: str):
-        self._p = (_HIGHEST if p == "highest"
-                   else jax.lax.Precision.DEFAULT)
+        if p not in ("highest", "default"):
+            raise ValueError(
+                f"matmul_precision: {p!r} (want 'highest' or 'default')")
+        self._p = _HIGHEST if p == "highest" else jax.lax.Precision.DEFAULT
 
     def __enter__(self):
-        global _PRECISION
-        self._old = _PRECISION
-        _PRECISION = self._p
+        self._old = _prec()
+        _PREC_STATE.value = self._p
         return self
 
     def __exit__(self, *exc):
-        global _PRECISION
-        _PRECISION = self._old
+        _PREC_STATE.value = self._old
         return False
 # largest direct DFT matmul; 512 also works but costs ~10x the FLOPs
 # of one more four-step level for the same measured accuracy (1.7e-7
@@ -117,15 +126,15 @@ def _dft_along(xr, xi, inverse: bool, axis: int):
     wi = jnp.asarray(wi_np)
     if axis == -1:
         def f(a, w):
-            return jnp.matmul(a, w, precision=_PRECISION)
+            return jnp.matmul(a, w, precision=_prec())
     elif axis == -2:
         def f(a, w):
             return jnp.einsum("jk,...jc->...kc", w, a,
-                              precision=_PRECISION)
+                              precision=_prec())
     elif axis == -3:
         def f(a, w):
             return jnp.einsum("jk,...jcd->...kcd", w, a,
-                              precision=_PRECISION)
+                              precision=_prec())
     else:
         raise ValueError(f"unsupported DFT axis {axis}")
     yr = f(xr, wr) - f(xi, wi)
@@ -149,7 +158,7 @@ def _dft_swapped(xr, xi, inverse: bool, mid: bool):
     eq = "jm,...ajc->...mac" if mid else "jm,...aj->...ma"
 
     def f(a, w):
-        return jnp.einsum(eq, w, a, precision=_PRECISION)
+        return jnp.einsum(eq, w, a, precision=_prec())
 
     yr = f(xr, wr) - f(xi, wi)
     yi = f(xr, wi) + f(xi, wr)
@@ -225,11 +234,11 @@ def _dft_along_real(x, inverse: bool, axis: int):
     wi = jnp.asarray(wi_np)
     if axis == -1:
         def f(a, w):
-            return jnp.matmul(a, w, precision=_PRECISION)
+            return jnp.matmul(a, w, precision=_prec())
     elif axis == -2:
         def f(a, w):
             return jnp.einsum("jk,...jc->...kc", w, a,
-                              precision=_PRECISION)
+                              precision=_prec())
     else:
         raise ValueError(f"unsupported DFT axis {axis}")
     return f(x, wr), f(x, wi)
@@ -244,7 +253,7 @@ def _dft_swapped_real_out(xr, xi, inverse: bool, mid: bool):
     eq = "jm,...ajc->...mac" if mid else "jm,...aj->...ma"
 
     def f(a, w):
-        return jnp.einsum(eq, w, a, precision=_PRECISION)
+        return jnp.einsum(eq, w, a, precision=_prec())
 
     return f(xr, wr) - f(xi, wi)
 
@@ -288,8 +297,8 @@ def ifft2_real(xr, xi):
         wr_np, wi_np = _dft_matrix(n, True)
         wr = jnp.asarray(wr_np)
         wi = jnp.asarray(wi_np)
-        zr = (jnp.einsum("jk,...jc->...kc", wr, yr, precision=_PRECISION)
-              - jnp.einsum("jk,...jc->...kc", wi, yi, precision=_PRECISION))
+        zr = (jnp.einsum("jk,...jc->...kc", wr, yr, precision=_prec())
+              - jnp.einsum("jk,...jc->...kc", wi, yi, precision=_prec()))
         return zr * inv
     n1, n2 = _split(n)
     if n1 > _DIRECT_MAX or n2 > _DIRECT_MAX or n1 * n2 != n:

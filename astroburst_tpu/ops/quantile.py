@@ -30,10 +30,20 @@ _CHUNK = 1 << 22  # 4M elements per scan step (measured best on v5e)
 
 
 def _count_below_edges(x: jax.Array, edges: jax.Array) -> jax.Array:
-    """cnt[j] = #{i : x[i] < edges[j]} as f32, scan-chunked.
+    """cnt[j] = #{i : x[i] < edges[j]} as f32. edges shape [E]; x has
+    invalid mapped to +inf.
 
-    x must be 1-D with invalid mapped to +inf. edges shape [E].
+    1-D x: scan-chunked (4M elements per step, measured best on v5e
+    for the single-device flat path). ND x: one fused broadcast-
+    compare-reduce over every axis — this form preserves the input's
+    GSPMD sharding (local partial counts + one psum), where the 1-D
+    path's pad+reshape to (rows, _CHUNK) forces a full all-gather of
+    the plane on a sharded input. Sharded callers go through
+    ``stats_core(..., flatten=False)``.
     """
+    if x.ndim > 1:
+        return jnp.sum(x[..., None] < edges,
+                       axis=tuple(range(x.ndim)), dtype=jnp.float32)
     n = x.shape[0]
     rows = -(-n // _CHUNK)
     pad = rows * _CHUNK - n
@@ -54,7 +64,9 @@ def masked_rank_values(x: jax.Array, ranks: jax.Array, lo: jax.Array,
                        rounds: int = ROUNDS) -> jax.Array:
     """Interpolated values of the `ranks`-th smallest elements (1-based).
 
-    x: 1-D f32 with invalid mapped to +inf. ranks: f32 [K] (may share a
+    x: f32 of any shape (reduced over every axis; keep it ND when it is
+    GSPMD-sharded — see _count_below_edges) with invalid mapped to
+    +inf. ranks: f32 [K] (may share a
     bracket; each rank tracks its own). lo/hi: scalars bracketing all
     valid values (hi must be > max valid value is NOT required — the
     top edge is widened each round).
@@ -106,7 +118,7 @@ def masked_rank_values(x: jax.Array, ranks: jax.Array, lo: jax.Array,
 def masked_median(x: jax.Array, valid_count: jax.Array, lo: jax.Array,
                   hi: jax.Array, exact_pair: bool = True,
                   bins: int = BINS, rounds: int = ROUNDS) -> jax.Array:
-    """Median of the valid (non-inf) elements of 1-D x.
+    """Median of the valid (non-inf) elements of x (any shape).
 
     exact_pair=True mirrors the reference's exact path (median.rs:27-43):
     even counts average the two middle order statistics. False mirrors

@@ -25,13 +25,18 @@ from astroburst_tpu.ops.quantile import _count_below_edges, masked_median_mad
 EXACT_PATH_MAX_PIXELS = 4_000_000  # stats.rs:18
 
 
-def stats_core(x: jax.Array, exact_pair: bool):
+def stats_core(x: jax.Array, exact_pair: bool, flatten: bool = True):
     """Pure traced stats: (min, max, sum, count, median, mad).
 
     Composable inside larger jitted pipelines; `_stats_kernel` is the
     standalone jitted entry point.
+
+    flatten=False keeps x in its natural ND shape so the median's
+    compare-count passes stay GSPMD-shardable (the flat path's
+    pad+reshape chunking all-gathers a sharded plane) — pass it from
+    every sharded pipeline. Results are identical.
     """
-    flat = x.reshape(-1)
+    flat = x.reshape(-1) if flatten else x
     mask = validity_mask(flat)
     count = jnp.sum(mask.astype(jnp.int32))
     total = jnp.sum(jnp.where(mask, flat, 0.0))
@@ -42,7 +47,8 @@ def stats_core(x: jax.Array, exact_pair: bool):
     return mn, mx, total, count, med, mad
 
 
-_stats_kernel = jax.jit(stats_core, static_argnames=("exact_pair",))
+_stats_kernel = jax.jit(stats_core, static_argnames=("exact_pair",
+                                                     "flatten"))
 
 
 def compute_image_stats(x: jax.Array) -> ImageStats:

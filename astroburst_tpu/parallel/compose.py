@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from astroburst_tpu.constants import MAD_TO_SIGMA, PADDING_THRESHOLD
-from astroburst_tpu.imaging.stf import _stf_core, auto_stf_traced
+from astroburst_tpu.constants import MAD_TO_SIGMA
+from astroburst_tpu.dtypes import AutoStfConfig
+from astroburst_tpu.imaging.stf import apply_stf_traced, auto_stf_traced
 from astroburst_tpu.ops.stats import stats_core
 
 
@@ -46,19 +47,9 @@ def _traced_wb_auto(meds: jax.Array, mads: jax.Array) -> jax.Array:
     return jnp.where(jnp.arange(3) == ref_idx, 1.0, factors)
 
 
-def _apply_stf_composite_traced(x, mn, mx, shadow, midtone):
-    """Traced `apply_stf_composite` (rgb.rs:195-208): per-channel
-    min/range normalization, highlight = 1, v ≤ 1e-7 → 0."""
-    inv_range = 1.0 / jnp.maximum(mx - mn, 1e-30)
-    inv_clip = 1.0 / jnp.maximum(1.0 - shadow, 1e-15)
-    out = _stf_core(x, mn, inv_range, shadow, inv_clip, midtone)
-    valid = jnp.isfinite(x) & (x > PADDING_THRESHOLD)
-    return jnp.where(valid, out, 0.0).astype(jnp.float32)
-
-
 def make_sharded_compose(mesh: Mesh, rows_axis: str = "rows", *,
                          wb_mode: str = "auto", linked_stf: bool = True,
-                         target_bg: float = 0.25, shadow_k: float = -2.8,
+                         stf_config: AutoStfConfig = AutoStfConfig(),
                          exact_pair: bool = False):
     """jit the blend + WB + auto-STF compose over a rows-sharded mesh.
 
@@ -71,8 +62,10 @@ def make_sharded_compose(mesh: Mesh, rows_axis: str = "rows", *,
       linked), wb [3] gains.
 
     `exact_pair` selects the exact even-count median averaging in the
-    stats kernel — pass True only for small planes (it appends a full
-    sort fallback; the histogram path is the scale path).
+    stats kernel (a second rank target through the same compare-count
+    refinement — ~2× the rank passes; the single-rank histogram
+    semantics is the reference's own >4 Mpx path and the scale
+    default here).
     """
     if wb_mode not in ("auto", "manual", "none"):
         raise ValueError(f"wb_mode {wb_mode!r}")
@@ -86,7 +79,10 @@ def make_sharded_compose(mesh: Mesh, rows_axis: str = "rows", *,
         rgb = jax.lax.with_sharding_constraint(rgb, chan_spec)
 
         def chan_stats(x):
-            mn, mx, _total, count, med, mad = stats_core(x, exact_pair)
+            # flatten=False keeps the median's compare-count passes
+            # row-sharded (the flat path would all-gather the plane)
+            mn, mx, _total, count, med, mad = stats_core(x, exact_pair,
+                                                         flatten=False)
             return mn, mx, count, med, mad
 
         if wb_mode == "auto":
@@ -108,18 +104,22 @@ def make_sharded_compose(mesh: Mesh, rows_axis: str = "rows", *,
             mn, mx, count, med, mad = chan_stats(merged)
             sigma = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
             shadow, midtone = auto_stf_traced(mn, mx, med, sigma, count,
-                                              target_bg, shadow_k)
+                                              stf_config.target_bg,
+                                              stf_config.shadow_k)
             params = [(shadow, midtone)] * 3
         else:
             params = []
             for mn, mx, count, med, mad in post:
                 sigma = jnp.maximum(mad * MAD_TO_SIGMA, 1e-30)
                 params.append(auto_stf_traced(mn, mx, med, sigma, count,
-                                              target_bg, shadow_k))
+                                              stf_config.target_bg,
+                                              stf_config.shadow_k))
 
+        # apply_stf_traced implements the composite validity rule
+        # (rgb.rs:195-208) verbatim: validity_mask == isfinite & >1e-7
         out = jnp.stack([
-            _apply_stf_composite_traced(rgb[k], post[k][0], post[k][1],
-                                        params[k][0], params[k][1])
+            apply_stf_traced(rgb[k], post[k][0], post[k][1],
+                             params[k][0], params[k][1])
             for k in range(3)])
         out = jax.lax.with_sharding_constraint(out, chan_spec)
         preview = jnp.clip(jnp.round(out * 255.0), 0.0, 255.0

@@ -371,7 +371,10 @@ def make_sharded_stack_step(mesh: Mesh, sigma_low: float = 3.0,
             combined, rejected = sigma_clip_core(full, sigma_low,
                                                  sigma_high, max_iter)
         combined = jax.lax.with_sharding_constraint(combined, rows_spec)
-        mn, mx, _t, count, med, mad = stats_core(combined, False)
+        # flatten=False: the flat median path's chunk reshape would
+        # all-gather the row-sharded plane (8 full-plane gathers/step)
+        mn, mx, _t, count, med, mad = stats_core(combined, False,
+                                                 flatten=False)
         sigma = jnp.maximum(mad * 1.4826, 1e-30)
         shadow, midtone = auto_stf_traced(mn, mx, med, sigma, count)
         preview = apply_stf_traced(combined, mn, mx, shadow, midtone,

@@ -464,89 +464,79 @@ def bench_fits_rgb_export():
 
 
 def run_all():
+    """Every published reference row. Each row is guarded: a failure
+    (e.g. a TPU tunnel drop mid-table) records an error entry and the
+    remaining rows still run, so hours of completed measurements are
+    never discarded from the headline JSON."""
     ops = {}
 
-    log("ops: hist+auto-STF 4096² …")
-    ops["hist_autostf_4096"] = {
-        "ms": round(bench_hist_autostf(), 2), "ref_ms": 35.0}
-    log(f"  {ops['hist_autostf_4096']}")
+    def row(name, label, fn):
+        log(f"ops: {label} …")
+        try:
+            ops[name] = fn()
+        except Exception as e:
+            ops[name] = {"error": f"{type(e).__name__}: {e}"}
+        log(f"  {ops[name]}")
 
-    log("ops: star detection 4096² (~3000 stars) …")
-    ms, n = bench_star_detection(4096, 4096, 3000, seed=2,
-                                 max_peaks=4096)
-    ops["star_detect_4096"] = {"ms": round(ms, 1), "ref_ms": 80.0,
-                               "stars": n}
-    log(f"  {ops['star_detect_4096']}")
+    row("hist_autostf_4096", "hist+auto-STF 4096²", lambda: {
+        "ms": round(bench_hist_autostf(), 2), "ref_ms": 35.0})
 
-    log("ops: star detection 5655×2206 (200 stars) …")
-    ms, n = bench_star_detection(5655, 2206, 200, seed=3)
-    ops["star_detect_5655"] = {"ms": round(ms, 1), "ref_ms": 97.0,
-                               "stars": n}
-    log(f"  {ops['star_detect_5655']}")
+    def _star_4096():
+        ms, n = bench_star_detection(4096, 4096, 3000, seed=2,
+                                     max_peaks=4096)
+        return {"ms": round(ms, 1), "ref_ms": 80.0, "stars": n}
+    row("star_detect_4096", "star detection 4096² (~3000 stars)",
+        _star_4096)
 
-    log("ops: masked stretch ×10 4096² …")
-    ops["masked_stretch_4096_x10"] = {
-        "ms": round(bench_masked_stretch(), 1), "ref_ms": 1200.0}
-    log(f"  {ops['masked_stretch_4096_x10']}")
+    def _star_5655():
+        ms, n = bench_star_detection(5655, 2206, 200, seed=3)
+        return {"ms": round(ms, 1), "ref_ms": 97.0, "stars": n}
+    row("star_detect_5655", "star detection 5655×2206 (200 stars)",
+        _star_5655)
 
-    log("ops: tone curves 5655×2206×3 …")
-    ops["tone_curves_5655x3"] = {
-        "ms": round(bench_tone_curves(), 2), "ref_ms": 2425.0}
-    log(f"  {ops['tone_curves_5655x3']}")
+    row("masked_stretch_4096_x10", "masked stretch ×10 4096²", lambda: {
+        "ms": round(bench_masked_stretch(), 1), "ref_ms": 1200.0})
 
-    log("ops: blend + linked STF + lum 4096²×3 …")
-    ops["blend_stf_lum_4096x3"] = {
-        "ms": round(bench_blend_stf_lum(), 2), "ref_ms": 400.0}
-    log(f"  {ops['blend_stf_lum_4096x3']}")
+    row("tone_curves_5655x3", "tone curves 5655×2206×3", lambda: {
+        "ms": round(bench_tone_curves(), 2), "ref_ms": 2425.0})
 
-    log("ops: SHO blend 1600²×3 …")
-    ops["sho_blend_1600x3"] = {
-        "ms": round(bench_sho_blend(), 2), "ref_ms": 345.0}
-    log(f"  {ops['sho_blend_1600x3']}")
+    row("blend_stf_lum_4096x3", "blend + linked STF + lum 4096²×3",
+        lambda: {"ms": round(bench_blend_stf_lum(), 2), "ref_ms": 400.0})
 
-    log("ops: white balance 4096²×3 …")
-    ops["white_balance_4096x3"] = {
-        "ms": round(bench_white_balance(), 2), "ref_ms": 45.0}
-    log(f"  {ops['white_balance_4096x3']}")
+    row("sho_blend_1600x3", "SHO blend 1600²×3", lambda: {
+        "ms": round(bench_sho_blend(), 2), "ref_ms": 345.0})
 
-    log("ops: affine channel alignment 5655×2206 …")
-    ms, dev_ms, method, ok = bench_affine_align()
-    ops["affine_align_5655"] = {"ms": round(ms, 1),
-                                "device_ms": round(dev_ms, 1),
-                                "ref_ms": 800.0,
-                                "method": method, "recovered": ok}
-    log(f"  {ops['affine_align_5655']}")
+    row("white_balance_4096x3", "white balance 4096²×3", lambda: {
+        "ms": round(bench_white_balance(), 2), "ref_ms": 45.0})
 
-    log("ops: single FITS processing 4096² …")
-    ops["single_fits_4096"] = {
-        "ms": round(bench_single_fits(), 1), "ref_ms": 120.0}
-    log(f"  {ops['single_fits_4096']}")
+    def _affine():
+        ms, dev_ms, method, ok = bench_affine_align()
+        return {"ms": round(ms, 1), "device_ms": round(dev_ms, 1),
+                "ref_ms": 800.0, "method": method, "recovered": ok}
+    row("affine_align_5655", "affine channel alignment 5655×2206",
+        _affine)
 
-    log("ops: sigma-clip stack 10×4096² ×5 iters …")
-    ops["sigma_clip_stack_10x4096"] = {
-        "ms": round(bench_sigma_clip_stack(), 1), "ref_ms": 2100.0}
-    log(f"  {ops['sigma_clip_stack_10x4096']}")
+    row("single_fits_4096", "single FITS processing 4096²", lambda: {
+        "ms": round(bench_single_fits(), 1), "ref_ms": 120.0})
 
-    log("ops: drizzle 10×4096² 2× …")
-    ops["drizzle_10x4096_2x"] = {
-        "ms": round(bench_drizzle(), 0), "ref_ms": 4200.0}
-    log(f"  {ops['drizzle_10x4096_2x']}")
+    row("sigma_clip_stack_10x4096", "sigma-clip stack 10×4096² ×5 iters",
+        lambda: {"ms": round(bench_sigma_clip_stack(), 1),
+                 "ref_ms": 2100.0})
 
-    log("ops: RL deconvolution 2048²×20 …")
-    ops["rl_deconv_2048_x20"] = {
+    row("drizzle_10x4096_2x", "drizzle 10×4096² 2×", lambda: {
+        "ms": round(bench_drizzle(), 0), "ref_ms": 4200.0})
+
+    row("rl_deconv_2048_x20", "RL deconvolution 2048²×20", lambda: {
         "ms": round(bench_rl_deconv(), 1), "ref_ms": None,
-        "r2_ms": 554.0}
-    log(f"  {ops['rl_deconv_2048_x20']}")
-    log("ops: RL deconvolution 2048²×20 fast_precision …")
-    ops["rl_deconv_2048_x20_fast"] = {
-        "ms": round(bench_rl_deconv(fast=True), 1), "ref_ms": None}
-    log(f"  {ops['rl_deconv_2048_x20_fast']}")
+        "r2_ms": 554.0})
+    row("rl_deconv_2048_x20_fast",
+        "RL deconvolution 2048²×20 fast_precision", lambda: {
+            "ms": round(bench_rl_deconv(fast=True), 1), "ref_ms": None})
 
-    log("ops: FITS RGB export 618 MB …")
-    ms, mb = bench_fits_rgb_export()
-    ops["fits_rgb_export_618mb"] = {"ms": round(ms, 0), "ref_ms": 617.0,
-                                    "mb": round(mb, 0)}
-    log(f"  {ops['fits_rgb_export_618mb']}")
+    def _export():
+        ms, mb = bench_fits_rgb_export()
+        return {"ms": round(ms, 0), "ref_ms": 617.0, "mb": round(mb, 0)}
+    row("fits_rgb_export_618mb", "FITS RGB export 618 MB", _export)
 
     return ops
 

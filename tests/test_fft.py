@@ -273,7 +273,7 @@ def test_rl_fast_precision_plumbing(rng):
     fast = richardson_lucy(jnp2.asarray(img), psf,
                            RLConfig(iterations=4, dering=False,
                                     fast_precision=True))
-    assert F._PRECISION is F._HIGHEST  # context restored after tracing
+    assert F._prec() is F._HIGHEST  # context restored after tracing
     assert fast.iterations_run == slow.iterations_run
     np.testing.assert_allclose(np.asarray(fast.image),
                                np.asarray(slow.image), atol=1e-6)
@@ -284,8 +284,10 @@ def test_matmul_precision_context_restores_on_error():
 
     try:
         with F.matmul_precision("default"):
-            assert F._PRECISION is not F._HIGHEST
+            assert F._prec() is not F._HIGHEST
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    assert F._PRECISION is F._HIGHEST
+    assert F._prec() is F._HIGHEST
+    with pytest.raises(ValueError):
+        F.matmul_precision("Highest")

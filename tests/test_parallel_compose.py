@@ -114,8 +114,12 @@ def test_sharded_compose_invalid_pixels_render_black(rng):
 
 @pytest.mark.slow
 def test_sharded_compose_reductions_only_no_reshard(rng):
-    """The compiled HLO must not contain all-to-all or gather-style
-    resharding — the compose is elementwise + psum reductions."""
+    """The compiled HLO must not contain all-to-all OR gather-style
+    resharding — the compose is elementwise + psum reductions. The
+    all-gather assertion is the load-bearing one: the flat stats path
+    (stats_core flatten=True) compiles to 8 full-plane all-gathers on
+    this mesh (the chunk pad+reshape defeats GSPMD), which
+    flatten=False exists to prevent."""
     chans = _channels(rng)
     mesh = make_mesh(8, ("rows",), (8,))
     compose = make_sharded_compose(mesh, "rows", exact_pair=True)
@@ -125,3 +129,4 @@ def test_sharded_compose_reductions_only_no_reshard(rng):
                             jnp.ones(3, jnp.float32))
     hlo = lowered.compile().as_text()
     assert "all-to-all" not in hlo
+    assert "all-gather" not in hlo

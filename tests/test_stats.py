@@ -103,3 +103,23 @@ def test_downsample_histogram():
                   min=0.0, max=16.0)
     out = downsample_histogram(h, 4)
     assert out == [0 + 1 + 2 + 3, 4 + 5 + 6 + 7, 8 + 9 + 10 + 11, 12 + 13 + 14 + 15]
+
+
+def test_stats_core_nd_matches_flat(rng):
+    """flatten=False (the GSPMD-shardable ND median path) must be
+    numerically identical to the flat scan-chunked path."""
+    import jax.numpy as jnp
+    from astroburst_tpu.ops.stats import stats_core
+
+    x = rng.gamma(2.0, 40.0, (67, 53)).astype(np.float32)
+    x[3, 5] = np.nan
+    x[10, :4] = 0.0
+    for exact_pair in (False, True):
+        flat = stats_core(jnp.asarray(x), exact_pair, flatten=True)
+        nd = stats_core(jnp.asarray(x), exact_pair, flatten=False)
+        for i, (a, b) in enumerate(zip(flat, nd)):
+            # the float total's reduce tree differs (1-ulp); counts are
+            # exact integer-valued f32, everything else follows exactly
+            tol = 1e-6 if i == 2 else 0
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=tol, atol=0)
