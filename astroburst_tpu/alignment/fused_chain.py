@@ -248,7 +248,11 @@ def _ransac_device(mx, my, mu, mv, mvalid, cnt, rows: int, cols: int,
         x1, x2, x3 = fx[:, 0], fx[:, 1], fx[:, 2]
         y1, y2, y3 = fy[:, 0], fy[:, 1], fy[:, 2]
         det = (x1 * (y2 - y3) - y1 * (x2 - x3) + (x2 * y3 - x3 * y2))
-        h_ok = jnp.abs(det) > 1e-9
+        # the host gate (affine.py:351) is |det| > 1e-9 in RAW pixels;
+        # det is a 2-form so it scales by s² under the center-normalize
+        # — gate in the same units or the two paths reject different
+        # hypotheses near degeneracy
+        h_ok = jnp.abs(det) > 1e-9 * s * s
         safe = jnp.where(h_ok, det, 1.0)
 
         def cramer(w1, w2, w3):
@@ -271,7 +275,9 @@ def _ransac_device(mx, my, mu, mv, mvalid, cnt, rows: int, cols: int,
         dty = fv - tcy[:, None]
         num = (drx * dty - dry * dtx).sum(1)
         den = (drx * dtx + dry * dty).sum(1)
-        h_ok = (jnp.abs(num) + jnp.abs(den)) > 1e-12
+        # host gate (affine.py:367) is 1e-12 in raw px²; num/den are
+        # coordinate products, so scale the gate by s²
+        h_ok = (jnp.abs(num) + jnp.abs(den)) > 1e-12 * s * s
         theta = jnp.arctan2(num, den)
         pa = jnp.cos(theta)
         pb = -jnp.sin(theta)

@@ -48,10 +48,14 @@ def estimate_offset(reference, target, method: AlignMethod):
 def align_pair(reference, target, method: AlignMethod, rows: int,
                cols: int, ref_stars=None) -> AlignPairResult:
     if method == AlignMethod.AFFINE:
-        if jax.default_backend() == "tpu":
+        ref_shape = (reference.shape[0], reference.shape[1])
+        if jax.default_backend() == "tpu" and (rows, cols) == ref_shape:
             # one device program, one host fetch (fused_chain);
             # ref_stars (fused_chain.detect_ref_stars) skips
-            # re-detecting a shared reference channel
+            # re-detecting a shared reference channel. The fused chain
+            # warps onto the reference canvas, so it only honors the
+            # (rows, cols) contract when they match — a different
+            # canvas takes the host solve + explicit warp path.
             from astroburst_tpu.alignment.fused_chain import align_and_warp
             warped, result = align_and_warp(reference, target,
                                             ref_stars=ref_stars)

@@ -264,11 +264,10 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
     peaks = _local_maxima(jnp.where(finite, image, -jnp.inf), above)
     score = jnp.where(peaks, image, -jnp.inf)
     # top_k over the full plane is ~35 ms at 12 Mpx; reduce 2×2 blocks
-    # to their max first (4× less top_k work). Lossless for the final
-    # star list: two peaks sharing a 2×2 block are < 3 px apart, inside
-    # the brightest-first dedup radius — a connected plateau already
-    # yields exactly one peak (lex tie-break in _local_maxima), so only
-    # diagonal twin maxima merge early, and those dedup anyway.
+    # to their max first (4× less top_k work). Lossless: all four cells
+    # of a 2×2 block are mutually 8-adjacent, and _local_maxima's
+    # lexicographic strict/>= tie-break means no two 8-adjacent cells
+    # can both be peaks — every block holds at most ONE candidate.
     r2 = -(-rows // 2) * 2
     c2 = -(-cols // 2) * 2
     sp = jnp.pad(score, ((0, r2 - rows), (0, c2 - cols)),
@@ -283,20 +282,39 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
     bmax = jnp.take(m, jnp.arange(0, c2, 2), axis=1)
     rows_b, cols_b = r2 // 2, c2 // 2
     k_row = min(64, cols_b)
+    # small plane: the block-max grid can hold fewer cells than
+    # max_peaks — clamp the selection and pad back (is_peak masks the
+    # -inf tail downstream)
+    k_flat = min(max_peaks, rows_b * cols_b)
+
+    def _flat_top(bm):
+        v, bidx = jax.lax.top_k(bm.reshape(-1), k_flat)
+        if k_flat < max_peaks:
+            v = jnp.pad(v, (0, max_peaks - k_flat),
+                        constant_values=-jnp.inf)
+            bidx = jnp.pad(bidx, (0, max_peaks - k_flat))
+        return v, bidx // cols_b, bidx % cols_b
+
     if cols_b > 64 and rows_b * k_row >= max_peaks:
         # two-level top_k (5.9 vs 10.3 ms at 4.2 M): per-row top-64
         # then a flat top_k over the 64·rows_b survivors. A row of
-        # bmax spans TWO image rows; >64 local maxima above 5σ inside
-        # a 2-row slab would mean a cluster denser than the 3-px dedup
-        # resolves anyway.
-        rv, ri = jax.lax.top_k(bmax, k_row)
-        vals, fi = jax.lax.top_k(rv.reshape(-1), max_peaks)
-        by = fi // k_row
-        bx = jnp.take(ri.reshape(-1), fi)
+        # bmax spans TWO image rows, so >64 peaks there is an extreme
+        # cluster core — but the reference finds them all, so detect
+        # the overflow (count finite candidates per slab) and fall
+        # back to the lossless full-plane top_k at runtime (lax.cond
+        # executes one branch; the common case never pays for it).
+        overflow = jnp.any(
+            jnp.sum(jnp.isfinite(bmax), axis=1) > k_row)
+
+        def _two_level(bm):
+            rv, ri = jax.lax.top_k(bm, k_row)
+            v, fi = jax.lax.top_k(rv.reshape(-1), max_peaks)
+            return v, fi // k_row, jnp.take(ri.reshape(-1), fi)
+
+        vals, by, bx = jax.lax.cond(overflow, _flat_top, _two_level,
+                                    bmax)
     else:
-        vals, bidx = jax.lax.top_k(bmax.reshape(-1), max_peaks)
-        by = bidx // cols_b
-        bx = bidx % cols_b
+        vals, by, bx = _flat_top(bmax)
     flat = sp.reshape(-1)
     base_idx = (2 * by) * c2 + 2 * bx
     c00 = jnp.take(flat, base_idx)

@@ -73,7 +73,9 @@ def _compute_bzero_bscale(arrays: Sequence[np.ndarray]) -> Tuple[float, float]:
 
 
 def _encode_plane(data: np.ndarray, bitpix: int, bzero: float,
-                  bscale: float) -> bytes:
+                  bscale: float):
+    # returns bytes OR a zero-copy memoryview (native path) — both are
+    # buffer-protocol payloads for f.write(); don't concatenate
     """BE-encode one plane. BITPIX 16 rounds half-away-from-zero after
     clamping, matching the reference's Rust `f64::round`
     (writer.rs:100-119); the OpenMP native encoders implement the same

@@ -97,7 +97,10 @@ def decode_pixels_native(raw, bitpix: int, bscale: float,
     return out
 
 
-def encode_be_f32_native(data: np.ndarray) -> Optional[bytes]:
+def encode_be_f32_native(data: np.ndarray) -> "Optional[memoryview]":
+    """BE-encoded payload as a zero-copy memoryview (bytes-like for
+    write()/len()/slicing; call bytes() if an actual bytes object is
+    required — that costs a full copy)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -111,7 +114,8 @@ def encode_be_f32_native(data: np.ndarray) -> Optional[bytes]:
 
 
 def encode_be_i16_native(data: np.ndarray, bzero: float,
-                         bscale: float) -> Optional[bytes]:
+                         bscale: float) -> "Optional[memoryview]":
+    """See encode_be_f32_native: zero-copy memoryview, not bytes."""
     lib = get_lib()
     if lib is None:
         return None

@@ -338,6 +338,11 @@ def rfft2(x):
     """
     r = x.shape[-2]
     c = x.shape[-1]
+    if r % 2 or c % 2:
+        raise ValueError(
+            f"rfft2 requires even dims (got {r}×{c}): the row stage "
+            "packs top/bottom halves and the column stage stores "
+            "c//2 + 1 columns — pad with next_fast_size (always even)")
     ch = c // 2 + 1
     zr = x[..., : r // 2, :]
     zi = x[..., r // 2:, :]
@@ -364,6 +369,11 @@ def irfft2(xr, xi, cols: int):
     row j + R/2 as one complex inverse transform (both results are
     real), halving it too.
     """
+    if cols % 2:
+        raise ValueError(
+            f"irfft2 requires even cols (got {cols}): the conjugate "
+            "extension supplies cols//2 - 1 mirrored columns, which "
+            "only reconstructs even widths")
     r = xr.shape[-2]
     ch = xr.shape[-1]
     if cols // 2 + 1 != ch:

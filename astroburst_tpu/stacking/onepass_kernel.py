@@ -179,13 +179,15 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                 tc = frame_tile(k, edge_fix)
                 # true zero shift returns raw pixels (align.rs:37-39) —
                 # the zero-weight taps would otherwise bleed NaN around
-                # dead pixels on the reference frame. With a STATIC
-                # zero_frames list (the pipeline aligns to frame 0, so
-                # k=0 is zero by construction; align=False makes every
-                # frame zero) the whole CR tap stack and the per-frame
-                # runtime select compile away — the r2 parity select
-                # cost ~2 ms/run across 16 frames. zero_frames=None
-                # keeps the runtime select for arbitrary offsets.
+                # dead pixels. Frames in the STATIC zero_frames list
+                # (the pipeline aligns to frame 0, so k=0 is zero by
+                # construction; align=False makes every frame zero)
+                # compile the whole CR tap stack away. Every OTHER
+                # frame keeps the runtime select: a measured offset can
+                # be exactly zero at runtime (duplicate/pre-registered
+                # frames), and the reference takes the identity path
+                # there — dropping the select for non-listed frames
+                # silently re-lost that NaN parity (r3 review).
                 if zero_frames is not None and k in zero_frames:
                     picked = tc[1:1 + block_h, 1:1 + block_w]
                 else:
@@ -199,13 +201,12 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                     for j in range(4):
                         term = wx[j] * tmp[:, j:j + block_w]
                         out = term if out is None else out + term
-                    if zero_frames is None:
-                        zero_k = ((shift_ref[k, 0] == 0) &
-                                  (shift_ref[k, 1] == 0) &
-                                  (frac_ref[k, 0] == 0.0) &
-                                  (frac_ref[k, 1] == 0.0))
-                        center = tc[1:1 + block_h, 1:1 + block_w]
-                        out = jnp.where(zero_k, center, out)
+                    zero_k = ((shift_ref[k, 0] == 0) &
+                              (shift_ref[k, 1] == 0) &
+                              (frac_ref[k, 0] == 0.0) &
+                              (frac_ref[k, 1] == 0.0))
+                    center = tc[1:1 + block_h, 1:1 + block_w]
+                    out = jnp.where(zero_k, center, out)
                     picked = out
                 # outside-source pixels are exactly 0 (align.rs:48-51)
                 dy = shift_ref[k, 0].astype(jnp.float32) + frac_ref[k, 0]

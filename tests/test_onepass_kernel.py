@@ -207,3 +207,26 @@ def test_zero_frames_static_path_matches_runtime_select(rng):
     d = shift_clip_onepass(jnp.asarray(stack), z, z, 3.0, 3.0, 3,
                            interpret=True, zero_frames=(0, 1, 2, 3))
     np.testing.assert_array_equal(np.asarray(c[0]), np.asarray(d[0]))
+
+
+def test_runtime_zero_offset_parity_with_static_zero_frames(rng):
+    """A NON-listed frame whose measured offset is exactly zero must
+    still take the raw-pixel identity path (align.rs:37-39): with
+    zero_frames=(0,) the runtime select stays compiled in for frames
+    1..n-1, so a dead pixel on a duplicate frame must not NaN-bleed
+    (r3 review finding)."""
+    s = rng.normal(100, 3, (4, 64, 64)).astype(np.float32)
+    s[1, 40, 40] = np.nan  # dead pixel on a NON-reference frame
+    stack = jnp.asarray(s)
+    z = jnp.zeros(4, jnp.float32)
+    got_static, _ = shift_clip_onepass(stack, z, z, 3.0, 3.0, 3,
+                                       off_max=8, interpret=True,
+                                       zero_frames=(0,))
+    got_runtime, _ = shift_clip_onepass(stack, z, z, 3.0, 3.0, 3,
+                                        off_max=8, interpret=True,
+                                        zero_frames=None)
+    np.testing.assert_array_equal(np.asarray(got_static),
+                                  np.asarray(got_runtime))
+    want, _ = sigma_clip_core(stack, 3.0, 3.0, 3)
+    np.testing.assert_allclose(np.asarray(got_static), np.asarray(want),
+                               atol=2e-4)

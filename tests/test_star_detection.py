@@ -129,3 +129,39 @@ def test_background_pallas_path_matches_xla(rng):
                                       use_pallas=True, interpret=True)
     assert float(got[0]) == pytest.approx(float(ref[0]), abs=1e-5)
     assert float(got[1]) == pytest.approx(float(ref[1]), abs=1e-6)
+
+
+def test_detect_stars_small_image_no_crash(rng):
+    """Images whose 2×2 block-max grid is smaller than max_peaks must
+    not crash top_k (r3 review finding: 40×40 raised ValueError)."""
+    from astroburst_tpu.analysis.star_detection import detect_stars
+
+    img = rng.normal(100, 3, (40, 40)).astype(np.float32)
+    yy, xx = np.mgrid[0:40, 0:40].astype(np.float32)
+    for sy, sx in [(12, 12), (28, 30)]:
+        img += 800.0 * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 3.0)
+    res = detect_stars(img)
+    assert len(res.stars) >= 2
+    got = {(round(s.y), round(s.x)) for s in res.stars[:2]}
+    assert (12, 12) in got and (28, 30) in got
+
+
+def test_detect_stars_dense_slab_overflow_fallback(rng):
+    """>64 peaks inside one 2-image-row slab must all survive: the
+    two-level top_k detects per-slab overflow and falls back to the
+    lossless full-plane top_k (r3 review finding)."""
+    from astroburst_tpu.analysis.star_detection import (_detect_kernel,
+                                                        detect_stars)
+
+    h, w = 64, 512
+    img = rng.normal(100.0, 0.5, (h, w)).astype(np.float32)
+    xs = np.arange(5, 502, 7)  # 71 blobs peaking in rows 2-3 (one slab)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for x in xs:
+        # tight blobs: tails must NOT bridge above threshold or the
+        # flood fill merges neighbors into one component
+        img += 500.0 * np.exp(-((yy - 2.0) ** 2 + (xx - x) ** 2) / 1.0)
+    res = detect_stars(img, sigma_threshold=5.0, max_peaks=256)
+    found = {(round(s.y), round(s.x)) for s in res.stars}
+    missing = [x for x in xs if (2, x) not in found]
+    assert not missing, f"lost {len(missing)} slab peaks: {missing[:5]}"
