@@ -111,25 +111,34 @@ def bench_ingest_decode():
     return total_gb / best, cores
 
 
-def _probe_backend(timeout_s: float = 240.0) -> bool:
-    """Backend init HANGS (never errors) when the axon tunnel is down —
-    probe it on a daemon thread so a dead tunnel fails fast with a
-    diagnosable JSON line instead of eating the driver's whole timeout."""
-    import threading
-    ok = []
-
-    def probe():
+def _probe_backend(wait_budget_s: float | None = None) -> bool:
+    """Backend init HANGS (never errors) when the axon tunnel is down.
+    Probe in SUBPROCESSES (a hung init poisons its process — never this
+    one) and retry for up to ASTROBURST_BENCH_WAIT_S seconds (default
+    900) so a brief tunnel flap at bench time doesn't cost the round's
+    artifact; only then emit the diagnosable JSON error line."""
+    import subprocess
+    if wait_budget_s is None:
+        wait_budget_s = float(os.environ.get("ASTROBURST_BENCH_WAIT_S",
+                                             "900"))
+    code = ("import jax.numpy as jnp; "
+            "jnp.ones((8, 128)).block_until_ready()")
+    deadline = time.monotonic() + wait_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
         try:
-            import jax.numpy as jnp
-            jnp.ones((8, 128)).block_until_ready()
-            ok.append(True)
-        except Exception as e:  # pragma: no cover - infra failure path
-            log(f"backend probe error: {e}")
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+            r = subprocess.run([sys.executable, "-c", code], timeout=90,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+            log(f"backend probe attempt {attempt} rc={r.returncode}: "
+                f"{r.stderr.decode(errors='replace')[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {attempt} hung (tunnel down?)")
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
 
 def main():
