@@ -16,6 +16,7 @@ Batched use (vmap over a frame axis) is supported by `correlate_single`.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -292,18 +293,27 @@ def _phase_correlate_traced(ref, tgt):
             jnp.where(bad, zero, rconf))
 
 
-@jax.jit
-def phase_correlate_stack_traced(ref, targets):
+def phase_correlate_stack_traced(ref, targets, crop_mode: str = "auto"):
     """Coarse-to-fine phase correlation of a [N, H, W] target stack
-    against one reference, with the refine crops taken as per-frame 3D
-    ``dynamic_slice``s of the stack (scalar start indices).
+    against one reference. Returns (dys [N], dxs [N], confidences [N]).
 
-    The per-frame vmap form lowers its 2D dynamic_slice to an XLA
-    GATHER — measured 4.3 ms of the 5.9 ms refine at 15×16 Mpx on v5e,
-    ~80× the crops' memory cost. Everything else (coarse box matmuls,
-    512² FFT correlations) batches cleanly, so only the crop step is
-    unrolled. Returns (dys [N], dxs [N], confidences [N]).
+    ``crop_mode`` selects how the refine crops move: "dma" uses the
+    tile-aligned Pallas DMA kernel (ops/crop_kernel.py — the origins
+    are (8,128)-aligned by ``_refine_origin``, so the crops copy at
+    memcpy speed instead of XLA's ~45 GB/s tiled dynamic-slice);
+    "slice" keeps per-frame 3D ``dynamic_slice``s (the XLA reference
+    path; also the fallback when the crop size is unaligned);
+    "interpret" is the DMA path in Pallas interpret mode (CPU tests);
+    "auto" picks "dma" on TPU, "slice" elsewhere.
     """
+    if crop_mode == "auto":
+        crop_mode = ("dma" if jax.default_backend() == "tpu"
+                     else "slice")
+    return _phase_correlate_stack_impl(ref, targets, crop_mode)
+
+
+@partial(jax.jit, static_argnames=("crop_mode",))
+def _phase_correlate_stack_impl(ref, targets, crop_mode: str):
     n, rows, cols = targets.shape
     if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
         dy, dx, conf = correlate_single(ref, targets)
@@ -326,10 +336,15 @@ def phase_correlate_stack_traced(ref, targets):
                                     REFINE_CROP_SIZE)
     s_r = min(REFINE_CROP_SIZE, rows)
     s_c = min(REFINE_CROP_SIZE, cols)
-    crops = jnp.concatenate([
-        jax.lax.dynamic_slice(targets, (jnp.int32(k), tgt_y0[k],
-                                        tgt_x0[k]), (1, s_r, s_c))
-        for k in range(n)])
+    if crop_mode != "slice" and s_r % 8 == 0 and s_c % 128 == 0:
+        from astroburst_tpu.ops.crop_kernel import gather_crops
+        crops = gather_crops(targets, tgt_y0, tgt_x0, s_r, s_c,
+                             interpret=(crop_mode == "interpret"))
+    else:
+        crops = jnp.concatenate([
+            jax.lax.dynamic_slice(targets, (jnp.int32(k), tgt_y0[k],
+                                            tgt_x0[k]), (1, s_r, s_c))
+            for k in range(n)])
     ref_crop = _centered_crop_static(ref, REFINE_CROP_SIZE)
     ref_y0, ref_x0 = _crop_origin_static(rows, cols, REFINE_CROP_SIZE)
     rdy, rdx, rconf = correlate_single(ref_crop, crops)

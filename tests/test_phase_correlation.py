@@ -1,6 +1,7 @@
 """Phase correlation tests mirroring the reference's
 (phase_correlation.rs:171-240) plus a coarse-to-fine case."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -141,3 +142,52 @@ def test_stack_pc_matches_per_frame(rng):
         assert abs(float(dxs[i]) - float(rdx)) < 1e-5
         assert abs(float(dys[i]) - sy) < 0.5
         assert abs(float(dxs[i]) - sx) < 0.5
+
+
+def test_refine_dma_crop_matches_slice(rng):
+    """The Pallas DMA refine-crop path (ops/crop_kernel.py) is
+    bit-identical to the dynamic_slice path — the crops are the same
+    bytes, only the copy mechanism differs."""
+    from astroburst_tpu.alignment.phase_correlation import (
+        phase_correlate_stack_traced)
+
+    h, w = 640, 1152
+    base = rng.normal(100, 3, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for sy, sx in [(100, 200), (400, 800), (300, 500), (520, 950)]:
+        base += 900.0 * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 8.0)
+    tgts = np.stack([np.roll(np.roll(base, dy, 0), dx, 1)
+                     for dy, dx in [(3, -5), (-7, 11), (0, 0)]])
+    ref = jnp.asarray(base)
+    T = jnp.asarray(tgts)
+    a = phase_correlate_stack_traced(ref, T, crop_mode="slice")
+    b = phase_correlate_stack_traced(ref, T, crop_mode="interpret")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert float(a[0][0]) == pytest.approx(3.0, abs=0.05)
+    assert float(a[1][1]) == pytest.approx(11.0, abs=0.05)
+
+
+def test_gather_crops_kernel_parity(rng):
+    """gather_crops == per-frame dynamic_slice for aligned origins,
+    including edge-touching windows."""
+    from astroburst_tpu.ops.crop_kernel import gather_crops
+
+    stack = jnp.asarray(rng.normal(0, 1, (5, 640, 1024))
+                        .astype(np.float32))
+    y0s = jnp.asarray([0, 8, 64, 128, 120], jnp.int32)
+    x0s = jnp.asarray([0, 128, 256, 512, 384], jnp.int32)
+    got = gather_crops(stack, y0s, x0s, 512, 512, interpret=True)
+    want = jnp.stack([
+        jax.lax.dynamic_slice(stack[k], (y0s[k], x0s[k]), (512, 512))
+        for k in range(5)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gather_crops_rejects_unaligned_size():
+    from astroburst_tpu.ops.crop_kernel import gather_crops
+
+    stack = jnp.zeros((2, 64, 256), jnp.float32)
+    with pytest.raises(ValueError, match="aligned"):
+        gather_crops(stack, jnp.zeros(2, jnp.int32),
+                     jnp.zeros(2, jnp.int32), 60, 128, interpret=True)
