@@ -6,10 +6,11 @@ mtf_balance → blend dst = dst·(m·α) + stretched·(1−m·α); converge when
 |bg − target| < 1e-5 or the background stagnates. RGB uses a shared
 luminance-derived mask (masked_stretch.rs:157-190).
 
-TPU re-design: the data-dependent convergence loop becomes fixed
-iterations with a traced `stopped` flag (exactly reproducing the
-break conditions); the masked background median is a compare-count
-rank query per iteration.
+TPU re-design: the data-dependent convergence loop is a
+lax.while_loop evaluated on the device's scalar core — converging in
+4 iterations costs 4 iterations of device time, exactly reproducing
+the reference's break conditions (masked_stretch.rs:79-103); the
+masked background median is a compare-count rank query per iteration.
 """
 
 from __future__ import annotations
@@ -76,24 +77,21 @@ def _masked_stretch_kernel(image, mask, dmin, dmax, protection, target_bg,
                         jnp.clip((image - dmin) / jnp.maximum(rng, 1e-30),
                                  0.0, 1.0), 0.0)
     working = jnp.where(rng < 1e-10, jnp.zeros_like(image), working)
-    bg_mask = (mask < 0.5) & jnp.isfinite(working) & (working > 0.0)
-
-    stopped = jnp.bool_(False)
-    converged = jnp.bool_(False)
-    iterations_run = jnp.int32(0)
-    prev_bg = _masked_median(working, bg_mask)
     blend = mask * protection
 
-    for it in range(iterations):
+    # carry: (it, stopped, converged, iterations_run, prev_bg, working)
+    # while_loop ends the moment a break condition fires — a run that
+    # converges in 4 iterations pays for 4, not `iterations`
+    def cond(c):
+        it, stopped = c[0], c[1]
+        return (it < iterations) & ~stopped
+
+    def body(c):
+        it, stopped, converged, iterations_run, prev_bg, working = c
         bg = _masked_median(
             working, (mask < 0.5) & jnp.isfinite(working) & (working > 0.0))
         at_target = jnp.abs(bg - target_bg) < conv_threshold
-        stagnated = jnp.bool_(it > 0) & (jnp.abs(bg - prev_bg)
-                                         < conv_threshold * 0.1)
-        active = ~stopped
-        iterations_run = jnp.where(active, it + 1, iterations_run)
-        converged = converged | (active & at_target)
-        stopped = stopped | at_target | stagnated
+        stagnated = (it > 0) & (jnp.abs(bg - prev_bg) < conv_threshold * 0.1)
         # mtf_balance (masked_stretch.rs:230-236)
         denom = 2.0 * target_bg * bg - target_bg - bg
         midtone = jnp.where(jnp.abs(denom) < 1e-15, 0.5,
@@ -102,9 +100,14 @@ def _masked_stretch_kernel(image, mask, dmin, dmax, protection, target_bg,
                                                denom), 0.0001, 0.9999))
         stretched = _mtf_guarded(working, midtone)
         new_working = working * blend + stretched * (1.0 - blend)
-        working = jnp.where(active & ~(at_target | stagnated),
-                            new_working, working)
-        prev_bg = jnp.where(active, bg, prev_bg)
+        working = jnp.where(at_target | stagnated, working, new_working)
+        return (it + 1, at_target | stagnated, converged | at_target,
+                it + 1, bg, working)
+
+    init = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+            jnp.float32(0.0), working)
+    _, _, converged, iterations_run, _, working = jax.lax.while_loop(
+        cond, body, init)
 
     final_bg = _masked_median(
         working, (mask < 0.5) & jnp.isfinite(working) & (working > 0.0))

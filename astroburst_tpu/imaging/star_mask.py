@@ -4,10 +4,18 @@ Reference: src-tauri/src/core/imaging/star_mask.rs — per-star disks of
 radius FWHM·growth with a smoothstep soft edge, max-combined, optional
 luminance-ceiling protection, coverage fraction.
 
-TPU design: detection gives ≤K stars as dense arrays; the mask paints
-one fixed-size window per star inside a lax.fori_loop of
-dynamic-slice/max/dynamic-update-slice — sequential over ≤K stars, but
-each step is a tiny on-chip stencil, all in one XLA program.
+TPU design: detection gives ≤K stars as dense arrays; the mask is
+rasterized tile-by-tile: the padded plane is cut into TILE×TILE
+blocks, each block gets a candidate list of the stars whose 96×96
+windows intersect it (built with one vmapped argsort over a [tiles,
+stars] flag matrix), and a lax.map over blocks max-accumulates each
+candidate's soft disk over the block with a dynamic-bound fori_loop.
+Total VPU work is (stars × ~3 tiles × TILE²) instead of the K
+sequential dynamic-update-slices of the round-1..3 design (3000
+sequential 96² read-modify-writes dominated the masked-stretch bench
+row). Window-clipping semantics match the sequential kernel exactly:
+a star paints only inside its 96×96 window anchored at
+round(position), so soft radii beyond 47 px truncate identically.
 """
 
 from __future__ import annotations
@@ -42,43 +50,85 @@ class StarMaskResult:
     coverage_fraction: float
 
 
+TILE = 128  # raster block edge; window (96) spans ≤2 tiles per axis
+
+
+def _soft_disk(px, py, x, y, radius, softness):
+    """Smoothstep soft disk value at image-space coords (px, py)
+    (star_mask.rs:61-98). Exact math of the sequential kernel."""
+    soft_radius = radius + softness
+    r2_inner = radius * radius
+    r2_outer = soft_radius * soft_radius
+    fade = jnp.maximum(r2_outer - r2_inner, 1e-10)
+    d2 = (px - x) ** 2 + (py - y) ** 2
+    t = jnp.clip((d2 - r2_inner) / fade, 0.0, 1.0)
+    val = jnp.where(d2 <= r2_inner, 1.0,
+                    jnp.where(d2 <= r2_outer,
+                              1.0 - t * t * (3.0 - 2.0 * t), 0.0))
+    return jnp.where(radius > 0.0, val, 0.0)
+
+
 @partial(jax.jit, static_argnames=("luminance_protect",))
 def _mask_kernel(image, xs, ys, radii, softness, luminance_ceiling,
                  luminance_protect: bool):
     h, w = image.shape
     half = WINDOW // 2
-    mask0 = jnp.zeros((h + WINDOW, w + WINDOW), jnp.float32)  # padded
-    win_y = jnp.arange(WINDOW, dtype=jnp.float32)[:, None]
-    win_x = jnp.arange(WINDOW, dtype=jnp.float32)[None, :]
+    # padded plane (origin at image coord -half) rounded up to tiles
+    hp = -(-(h + WINDOW) // TILE) * TILE
+    wp = -(-(w + WINDOW) // TILE) * TILE
+    ty_n, tx_n = hp // TILE, wp // TILE
+    n_tiles = ty_n * tx_n
+    k = xs.shape[0]
 
-    def paint(i, mask):
-        x = xs[i]
-        y = ys[i]
-        radius = radii[i]
-        soft_radius = radius + softness
-        r2_inner = radius * radius
-        r2_outer = soft_radius * soft_radius
-        fade = jnp.maximum(r2_outer - r2_inner, 1e-10)
-        # padded-mask origin sits at image coord -half, so the window
-        # top-left (star - half in image space) is round(star) in
-        # padded space; clip keeps the slice in bounds
-        y0 = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h)
-        x0 = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w)
-        # window pixel coords back in image space
-        py = y0.astype(jnp.float32) + win_y - half
-        px = x0.astype(jnp.float32) + win_x - half
-        d2 = (px - x) ** 2 + (py - y) ** 2
-        t = jnp.clip((d2 - r2_inner) / fade, 0.0, 1.0)
-        val = jnp.where(d2 <= r2_inner, 1.0,
-                        jnp.where(d2 <= r2_outer,
-                                  1.0 - t * t * (3.0 - 2.0 * t), 0.0))
-        val = jnp.where(radius > 0.0, val, 0.0)
-        cur = jax.lax.dynamic_slice(mask, (y0, x0), (WINDOW, WINDOW))
-        return jax.lax.dynamic_update_slice(mask, jnp.maximum(cur, val),
-                                            (y0, x0))
+    # window anchor in padded space = round(star) clipped (the padded
+    # origin sits at image coord -half, so image coord y0-half == padded y0)
+    y0 = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h)
+    x0 = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w)
+    valid = radii > 0.0
 
-    mask = jax.lax.fori_loop(0, xs.shape[0], paint, mask0)
-    mask = mask[half:half + h, half:half + w]
+    # tile ranges each window touches (inclusive)
+    ty_lo, ty_hi = y0 // TILE, (y0 + WINDOW - 1) // TILE
+    tx_lo, tx_hi = x0 // TILE, (x0 + WINDOW - 1) // TILE
+    t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    t_y, t_x = t_idx // tx_n, t_idx % tx_n
+    flags = ((t_y[:, None] >= ty_lo[None, :]) &
+             (t_y[:, None] <= ty_hi[None, :]) &
+             (t_x[:, None] >= tx_lo[None, :]) &
+             (t_x[:, None] <= tx_hi[None, :]) & valid[None, :])
+    counts = jnp.sum(flags, axis=1).astype(jnp.int32)  # [tiles]
+    # candidate star indices per tile, flagged-first in index order
+    cands = jnp.argsort(jnp.where(flags, 0, 1).astype(jnp.int32),
+                        axis=1, stable=True).astype(jnp.int32)
+
+    iy = jnp.arange(TILE, dtype=jnp.float32)[:, None]
+    ix = jnp.arange(TILE, dtype=jnp.float32)[None, :]
+
+    def paint_tile(t):
+        oy = (t // tx_n) * TILE
+        ox = (t % tx_n) * TILE
+        # image-space coords of this tile's pixels
+        py = oy.astype(jnp.float32) + iy - half
+        px = ox.astype(jnp.float32) + ix - half
+        # padded-space coords for the window-clip test
+        gy = oy + jnp.arange(TILE, dtype=jnp.int32)[:, None]
+        gx = ox + jnp.arange(TILE, dtype=jnp.int32)[None, :]
+
+        def body(i, acc):
+            s = cands[t, i]
+            x, y, radius = xs[s], ys[s], radii[s]
+            val = _soft_disk(px, py, x, y, radius, softness)
+            # paint only inside the 96×96 window anchored at (y0, x0):
+            # exact parity with the sequential dynamic-update-slice form
+            inside = ((gy >= y0[s]) & (gy < y0[s] + WINDOW) &
+                      (gx >= x0[s]) & (gx < x0[s] + WINDOW))
+            return jnp.maximum(acc, jnp.where(inside, val, 0.0))
+
+        return jax.lax.fori_loop(0, counts[t], body,
+                                 jnp.zeros((TILE, TILE), jnp.float32))
+
+    tiles = jax.lax.map(paint_tile, t_idx)
+    mask = tiles.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
+    mask = mask.reshape(hp, wp)[half:half + h, half:half + w]
 
     if luminance_protect:
         ceiling = luminance_ceiling

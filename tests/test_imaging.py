@@ -260,3 +260,61 @@ def test_masked_stretch_converges_flag():
     res = masked_stretch(img, MaskedStretchConfig(iterations=10))
     assert isinstance(res.converged, bool)
     assert res.stars_masked >= 3
+
+
+def test_star_mask_tiled_paint_matches_sequential_oracle():
+    """The tiled rasterizer must reproduce the per-star sequential
+    window paint (star_mask.rs:61-98) exactly: same 96-px window clip,
+    same max-combine, same smoothstep edge."""
+    from astroburst_tpu.imaging.star_mask import WINDOW, _mask_kernel
+
+    def sequential_paint(h, w, xs, ys, radii, softness):
+        half = WINDOW // 2
+        mask = np.zeros((h + WINDOW, w + WINDOW), np.float32)
+        wy = np.arange(WINDOW, dtype=np.float32)[:, None]
+        wx = np.arange(WINDOW, dtype=np.float32)[None, :]
+        for x, y, radius in zip(xs, ys, radii):
+            soft_radius = radius + softness
+            r2i, r2o = radius * radius, soft_radius * soft_radius
+            fade = max(r2o - r2i, 1e-10)
+            y0 = int(np.clip(np.round(y), 0, h))
+            x0 = int(np.clip(np.round(x), 0, w))
+            py = y0 + wy - half
+            px = x0 + wx - half
+            d2 = (px - x) ** 2 + (py - y) ** 2
+            t = np.clip((d2 - r2i) / fade, 0.0, 1.0)
+            val = np.where(d2 <= r2i, 1.0,
+                           np.where(d2 <= r2o,
+                                    1.0 - t * t * (3.0 - 2.0 * t), 0.0))
+            if radius <= 0:
+                val = val * 0
+            win = mask[y0:y0 + WINDOW, x0:x0 + WINDOW]
+            mask[y0:y0 + WINDOW, x0:x0 + WINDOW] = np.maximum(
+                win, val.astype(np.float32))
+        return mask[half:half + h, half:half + w]
+
+    rng = np.random.default_rng(7)
+    for h, w, k in [(128, 160, 7), (300, 200, 60), (97, 513, 25)]:
+        xs = rng.uniform(-10, w + 10, k).astype(np.float32)  # off-edge too
+        ys = rng.uniform(-10, h + 10, k).astype(np.float32)
+        radii = rng.uniform(0, 40, k).astype(np.float32)
+        radii[0] = 0.0  # dummy slot
+        img = rng.random((h, w), np.float32)
+        got, _ = _mask_kernel(jnp.asarray(img), jnp.asarray(xs),
+                              jnp.asarray(ys), jnp.asarray(radii),
+                              jnp.float32(4.0), jnp.float32(0.85), False)
+        want = sequential_paint(h, w, xs, ys, radii, 4.0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_masked_stretch_early_stop_counts_iterations():
+    """while_loop early exit: iterations_run reflects the actual break
+    point (masked_stretch.rs:79-103), not the configured maximum."""
+    img = _star_image()
+    res = masked_stretch(img, MaskedStretchConfig(iterations=25,
+                                                  target_background=0.25))
+    assert 1 <= res.iterations_run <= 25
+    # a converged/stagnated run stops before the cap
+    if res.converged:
+        assert res.iterations_run < 25
