@@ -20,11 +20,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from astroburst_tpu.imaging.star_mask import (StarMaskConfig, StarMaskResult,
                                               generate_star_mask)
 from astroburst_tpu.ops.quantile import masked_rank_values
-from astroburst_tpu.ops.stats import compute_image_stats
 
 
 @dataclass
@@ -69,9 +69,19 @@ def _mtf_guarded(x, m):
     return jnp.where(x <= 0.0, 0.0, jnp.where(x >= 1.0, 1.0, val))
 
 
-@partial(jax.jit, static_argnames=("iterations",))
-def _masked_stretch_kernel(image, mask, dmin, dmax, protection, target_bg,
-                           conv_threshold, iterations: int):
+def _stretch_core(image, mask, protection, target_bg, conv_threshold,
+                  iterations: int):
+    """Traced body shared by the standalone kernel and the fused
+    mask+stretch program. Normalization bounds are the validity-masked
+    min/max (stats.rs:11 semantics), computed in-trace — the host
+    never fetches them."""
+    from astroburst_tpu.ops.masking import validity_mask
+    vm = validity_mask(image)
+    dmin = jnp.min(jnp.where(vm, image, jnp.inf))
+    dmax = jnp.max(jnp.where(vm, image, -jnp.inf))
+    any_valid = jnp.any(vm)
+    dmin = jnp.where(any_valid, dmin, 0.0)
+    dmax = jnp.where(any_valid, dmax, 0.0)
     rng = dmax - dmin
     working = jnp.where(jnp.isfinite(image) & (image > 0.0),
                         jnp.clip((image - dmin) / jnp.maximum(rng, 1e-30),
@@ -111,34 +121,78 @@ def _masked_stretch_kernel(image, mask, dmin, dmax, protection, target_bg,
 
     final_bg = _masked_median(
         working, (mask < 0.5) & jnp.isfinite(working) & (working > 0.0))
-    return jnp.clip(working, 0.0, 1.0), iterations_run, final_bg, converged
+    # one packed scalar row: host reads iterations/background/converged
+    # in a SINGLE device fetch (fetches serialize at ~31 ms RTT on
+    # tunneled hosts; three float() reads were three round trips)
+    info = jnp.stack([iterations_run.astype(jnp.float32), final_bg,
+                      converged.astype(jnp.float32)])
+    return jnp.clip(working, 0.0, 1.0), info
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _masked_stretch_kernel(image, mask, protection, target_bg,
+                           conv_threshold, iterations: int):
+    return _stretch_core(image, mask, protection, target_bg,
+                         conv_threshold, iterations)
+
+
+@partial(jax.jit, static_argnames=("iterations", "luminance_protect"))
+def _mask_stretch_fused(image, xs, ys, radii, softness, luminance_ceiling,
+                        protection, target_bg, conv_threshold,
+                        iterations: int, luminance_protect: bool):
+    """Star-mask paint + iterative stretch in ONE device program; the
+    host pays exactly two fetches per masked_stretch call (the
+    detection's packed array, then info+coverage here)."""
+    from astroburst_tpu.imaging.star_mask import _mask_kernel
+    mask, coverage = _mask_kernel(image, xs, ys, radii, softness,
+                                  luminance_ceiling, luminance_protect)
+    out, info = _stretch_core(image, mask, protection, target_bg,
+                              conv_threshold, iterations)
+    return out, jnp.concatenate([info, coverage[None]])
 
 
 def masked_stretch_with_mask(image, mask_result: StarMaskResult,
                              config: MaskedStretchConfig) -> MaskedStretchResult:
     img = jnp.asarray(image)
-    stats = compute_image_stats(img)
-    out, iters, final_bg, converged = _masked_stretch_kernel(
-        img, mask_result.mask, jnp.float32(stats.min), jnp.float32(stats.max),
+    out, info = _masked_stretch_kernel(
+        img, mask_result.mask,
         jnp.float32(config.protection_amount),
         jnp.float32(config.target_background),
         jnp.float32(config.convergence_threshold), config.iterations)
+    info = np.asarray(info)
     return MaskedStretchResult(
-        image=out, iterations_run=int(iters),
-        final_background=float(final_bg),
+        image=out, iterations_run=int(info[0]),
+        final_background=float(info[1]),
         stars_masked=mask_result.stars_masked,
         mask_coverage=mask_result.coverage_fraction,
-        converged=bool(converged))
+        converged=bool(info[2] > 0.5))
 
 
 def masked_stretch(image, config: MaskedStretchConfig = MaskedStretchConfig()
                    ) -> MaskedStretchResult:
+    from astroburst_tpu.imaging.star_mask import (_star_arrays,
+                                                  detect_stars)
+    img = jnp.asarray(image)
     mask_cfg = StarMaskConfig(
         growth_factor=config.mask_growth, softness=config.mask_softness,
         luminance_protect=config.luminance_protect,
         luminance_ceiling=config.luminance_ceiling)
-    mask_result = generate_star_mask(image, mask_cfg)
-    return masked_stretch_with_mask(image, mask_result, config)
+    detection = detect_stars(img, mask_cfg.detection_sigma)
+    xs, ys, radii, n_masked = _star_arrays(detection, mask_cfg)
+    out, info = _mask_stretch_fused(
+        img, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(radii),
+        jnp.float32(mask_cfg.softness), jnp.float32(mask_cfg.luminance_ceiling),
+        jnp.float32(config.protection_amount),
+        jnp.float32(config.target_background),
+        jnp.float32(config.convergence_threshold), config.iterations,
+        mask_cfg.luminance_protect)
+    info = np.asarray(info)
+    return MaskedStretchResult(
+        image=out, iterations_run=int(info[0]),
+        final_background=float(info[1]),
+        stars_masked=n_masked,
+        mask_coverage=float(info[3]),
+        converged=bool(info[2] > 0.5))
 
 
 def synthesize_luminance(r, g, b) -> jax.Array:

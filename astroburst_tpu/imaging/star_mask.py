@@ -142,9 +142,9 @@ def _mask_kernel(image, xs, ys, radii, softness, luminance_ceiling,
     return mask, coverage
 
 
-def generate_star_mask_from_detection(image, detection,
-                                      config: StarMaskConfig) -> StarMaskResult:
-    img = jnp.asarray(image)
+def _star_arrays(detection, config: StarMaskConfig):
+    """FWHM-filtered (xs, ys, radii, n_masked) host arrays for the
+    paint kernel (star_mask.rs:61-70's per-star loop inputs)."""
     stars = [s for s in detection.stars
              if config.min_fwhm <= s.fwhm <= config.max_fwhm]
     k = max(len(stars), 1)
@@ -155,11 +155,18 @@ def generate_star_mask_from_detection(image, detection,
         xs[i] = s.x
         ys[i] = s.y
         radii[i] = s.fwhm * config.growth_factor
+    return xs, ys, radii, len(stars)
+
+
+def generate_star_mask_from_detection(image, detection,
+                                      config: StarMaskConfig) -> StarMaskResult:
+    img = jnp.asarray(image)
+    xs, ys, radii, n_masked = _star_arrays(detection, config)
     mask, coverage = _mask_kernel(
         img, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(radii),
         jnp.float32(config.softness), jnp.float32(config.luminance_ceiling),
         config.luminance_protect)
-    return StarMaskResult(mask=mask, stars_masked=len(stars),
+    return StarMaskResult(mask=mask, stars_masked=n_masked,
                           coverage_fraction=float(coverage))
 
 

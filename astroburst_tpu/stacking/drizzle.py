@@ -158,6 +158,32 @@ def _axis_taps_exact(n_out: int, n_in: int, d, scale: float, half: float,
     return out
 
 
+def _frame_candidates_raw(frame, d_y, d_x, scale: float, pixfrac: float,
+                          kernel: DrizzleKernel, out_rows: int,
+                          out_cols: int):
+    """RAW gathered candidate planes for one frame (same (y-tap asc,
+    x-tap asc) push order as :func:`_frame_candidates`) plus the
+    per-axis tap-weight vectors. Values keep their NaN/inf; weights are
+    NOT masked by finiteness — the fused Pallas finalize reconstructs
+    w = wy·wx and presence = finite & (w > 1e-12) in-register, so the
+    [m, H, W] weight tensor never exists in HBM."""
+    in_rows, in_cols = frame.shape
+    half = pixfrac * scale * 0.5
+    taps, base_off = _support_taps(scale, half, kernel, exact=True)
+    xt = _axis_taps_exact(out_cols, in_cols, d_x, scale, half, kernel,
+                          taps, base_off)
+    yt = _axis_taps_exact(out_rows, in_rows, d_y, scale, half, kernel,
+                          taps, base_off)
+    cand = []
+    for idy, _wy in yt:
+        rows_v = jnp.take(frame, idy, axis=0)      # [out_rows, in_cols]
+        for idx, _wx in xt:
+            cand.append(jnp.take(rows_v, idx, axis=1))
+    wys = jnp.stack([wy for _, wy in yt])          # [taps, out_rows]
+    wxs = jnp.stack([wx for _, wx in xt])          # [taps, out_cols]
+    return jnp.stack(cand), wys, wxs, taps
+
+
 def _frame_candidates(frame, d_y, d_x, scale: float, pixfrac: float,
                       kernel: DrizzleKernel, out_rows: int, out_cols: int):
     """All (value, weight) candidate planes for one frame, ordered
@@ -229,7 +255,7 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
     cap = max(n * 2, 4)
     if use_pallas:
         from astroburst_tpu.stacking.drizzle_kernel import (
-            drizzle_finalize_pallas)
+            drizzle_finalize_fused)
         cols_pad = -(-out_cols // 128) * 128
         block_w = 512 if cols_pad % 512 == 0 else 128
 
@@ -237,6 +263,24 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
         # shift the output grid: band rows [r0, r0+band_rows) are the
         # full drizzle of a vertically offset output; achieved by
         # offsetting d_y in output units: cy' = cy - r0
+        if use_pallas:
+            parts = [_frame_candidates_raw(
+                stack[k], d_ys[k] - r0 / scale, d_xs[k], scale, pixfrac,
+                kernel, band_rows, out_cols) for k in range(n)]
+            cand_v = jnp.concatenate([p[0] for p in parts], axis=0)
+            wys = jnp.concatenate([p[1] for p in parts], axis=0)
+            wxs = jnp.concatenate([p[2] for p in parts], axis=0)
+            taps = parts[0][3]
+            pad = cols_pad - out_cols
+            if pad:
+                cand_v = jnp.pad(cand_v, ((0, 0), (0, 0), (0, pad)))
+                wxs = jnp.pad(wxs, ((0, 0), (0, pad)))  # w=0 → absent
+            img, wgt, rej = drizzle_finalize_fused(
+                cand_v, wys, wxs, n, taps, taps, cap, sigma_low,
+                sigma_high, sigma_iterations, interpret=interpret,
+                block_w=block_w)
+            return (img[:, :out_cols], wgt[:, :out_cols],
+                    rej[:, :out_cols])
         parts = []
         for k in range(n):
             cv, cw = _frame_candidates(
@@ -245,17 +289,6 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
             parts.append((cv, cw))
         cand_v = jnp.concatenate([p[0] for p in parts], axis=0)
         cand_w = jnp.concatenate([p[1] for p in parts], axis=0)
-        if use_pallas:
-            pad = cols_pad - out_cols
-            if pad:
-                cand_v = jnp.pad(cand_v, ((0, 0), (0, 0), (0, pad)))
-                cand_w = jnp.pad(cand_w, ((0, 0), (0, 0), (0, pad)))
-            img, wgt, rej = drizzle_finalize_pallas(
-                cand_v, cand_w, cap, sigma_low, sigma_high,
-                sigma_iterations, interpret=interpret,
-                block_w=block_w)
-            return (img[:, :out_cols], wgt[:, :out_cols],
-                    rej[:, :out_cols])
         return _finalize_exact(cand_v, cand_w, cap, sigma_low, sigma_high,
                                sigma_iterations)
 

@@ -164,6 +164,170 @@ def _make_finalize_kernel(m: int, cap: int, sigma_low: float,
     return kernel
 
 
+def _sort_smallest_p(sv, p: int):
+    """Ascending order of the smallest ``p`` elements of the tile list
+    ``sv`` (len must be a multiple of p, each a power of two), given
+    that at most p of them are non-inf: sort p-sized chunks, then fold
+    with the classic bitonic smallest-p extraction — elementwise
+    min(asc_keep[i], desc_chunk[i]) is the smallest-p multiset and is
+    bitonic, so one merge re-sorts it. ~45% fewer compare-exchanges
+    than one full sort at len=64, p=32, and every later stage (rank
+    selects, window counts, V-merges) shrinks to p tiles."""
+    chunks = [_bitonic_sort_list(sv[i:i + p]) for i in range(0, len(sv), p)]
+    keep = chunks[0]
+    for c in chunks[1:]:
+        keep = _bitonic_merge_list(
+            [jnp.minimum(keep[i], c[p - 1 - i]) for i in range(p)])
+    return keep
+
+
+def _make_finalize_fused_kernel(n: int, taps_y: int, taps_x: int, cap: int,
+                                sigma_low: float, sigma_high: float,
+                                iterations: int, bh: int, bw: int):
+    """Finalize kernel that reads only the RAW gathered value planes
+    from HBM and reconstructs each candidate's weight in-register from
+    the per-axis tap-weight vectors (w = wy·wx is rank-1 per
+    (frame, tap) — materializing [m, H, W] weights in HBM was half the
+    kernel's traffic). Presence = finite(value) & (w > 1e-12), exactly
+    the XLA reference's where(finite, wy·wx, 0) > 1e-12."""
+    m = n * taps_y * taps_x
+    m2 = 1 << (m - 1).bit_length()
+    # live candidates per pixel never exceed cap → post-sort working
+    # set shrinks to the next power of two ≥ cap
+    p = 1 << max(cap - 1, 1).bit_length()
+    p = min(p, m2)
+
+    def kernel(v_ref, wy_ref, wx_ref, img_ref, wgt_ref, rej_ref):
+        inf = jnp.full((bh, bw), jnp.inf, jnp.float32)
+        zero = jnp.zeros((bh, bw), jnp.float32)
+
+        sv = []
+        order = jnp.zeros((bh, bw), jnp.int32)
+        wgt = zero
+        k = 0
+        for f in range(n):
+            for ty in range(taps_y):
+                wy = wy_ref[f * taps_y + ty]          # [bh]
+                for tx in range(taps_x):
+                    wx = wx_ref[f * taps_x + tx]      # [bw]
+                    vk = v_ref[k]
+                    w = wy[:, None] * wx[None, :]
+                    present = jnp.isfinite(vk) & (w > 1e-12)
+                    order = order + jnp.where(present, 1, 0)
+                    capped = present & (order <= cap)
+                    wgt = wgt + jnp.where(capped, w, 0.0)
+                    sv.append(jnp.where(capped, vk, inf))
+                    k += 1
+        for _ in range(m2 - m):
+            sv.append(inf)
+
+        sv = _sort_smallest_p(sv, p) if p < m2 else _bitonic_sort_list(sv)
+        count0 = jnp.minimum(order, cap)
+
+        def rank2(arr, r1, r2, cnt):
+            acc = zero
+            for j in range(len(arr)):
+                acc = acc + jnp.where(r1 == j, arr[j], 0.0) \
+                          + jnp.where(r2 == j, arr[j], 0.0)
+            return jnp.where(cnt > 0, acc * 0.5, 0.0)
+
+        def clip_iter(_, carry):
+            lo, hi, stopped = carry
+            cnt = hi - lo
+            med = rank2(sv, lo + jnp.maximum((cnt - 1) // 2, 0),
+                        lo + jnp.maximum(cnt // 2, 0), cnt)
+            dv = []
+            for j in range(len(sv)):
+                inw = (j >= lo) & (j < hi)
+                dv.append(jnp.where(inw, jnp.abs(sv[j] - med), inf))
+            dv = _bitonic_merge_list(dv)  # V-shape → one merge
+            mad = rank2(dv, jnp.maximum((cnt - 1) // 2, 0),
+                        jnp.maximum(cnt // 2, 0), cnt)
+            sigma = jnp.maximum(mad * MAD_TO_SIGMA, 1e-10)
+            active = (cnt >= 3) & (stopped < 0.5)
+            vlo = med - sigma_low * sigma
+            vhi = med + sigma_high * sigma
+            cut_lo = jnp.zeros((bh, bw), jnp.int32)
+            cut_hi = jnp.zeros((bh, bw), jnp.int32)
+            for j in range(len(sv)):
+                inw = (j >= lo) & (j < hi)
+                cut_lo = cut_lo + jnp.where(inw & (sv[j] < vlo), 1, 0)
+                cut_hi = cut_hi + jnp.where(inw & (sv[j] > vhi), 1, 0)
+            removed = cut_lo + cut_hi
+            lo = jnp.where(active, lo + cut_lo, lo)
+            hi = jnp.where(active, hi - cut_hi, hi)
+            stopped = jnp.where(active & (removed == 0), 1.0, stopped)
+            return lo, hi, stopped
+
+        lo, hi, stopped = jax.lax.fori_loop(
+            0, iterations, clip_iter,
+            (jnp.zeros((bh, bw), jnp.int32), count0, zero))
+
+        final_cnt = hi - lo
+        kept_sum = zero
+        all_sum = zero
+        for j in range(len(sv)):
+            kept_sum = kept_sum + jnp.where((j >= lo) & (j < hi),
+                                            sv[j], 0.0)
+            all_sum = all_sum + jnp.where(j < count0, sv[j], 0.0)
+        mean_kept = kept_sum / jnp.maximum(final_cnt.astype(jnp.float32),
+                                           1.0)
+        mean_all = all_sum / jnp.maximum(count0.astype(jnp.float32), 1.0)
+        img_ref[:] = jnp.where(final_cnt > 0, mean_kept,
+                               jnp.where(count0 > 0, mean_all, 0.0))
+        wgt_ref[:] = wgt
+        rej_ref[:] = count0 - final_cnt
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("n", "taps_y", "taps_x", "cap", "sigma_low",
+                          "sigma_high", "iterations", "interpret",
+                          "block_h", "block_w"))
+def drizzle_finalize_fused(cand_v_raw, wys, wxs, n: int, taps_y: int,
+                           taps_x: int, cap: int, sigma_low: float,
+                           sigma_high: float, iterations: int,
+                           interpret: bool = False,
+                           block_h: int = BLOCK_H,
+                           block_w: int = BLOCK_W):
+    """Finalize [n·taps_y·taps_x, H, W] RAW gathered values (NaN/inf
+    preserved — finiteness is tested in-kernel) with per-axis weight
+    matrices wys [n·taps_y, H], wxs [n·taps_x, W] → (image, weight_map,
+    rejected_map). Half the HBM traffic of drizzle_finalize_pallas
+    (no [m, H, W] weight tensor exists anywhere)."""
+    m, h, w = cand_v_raw.shape
+    assert m == n * taps_y * taps_x
+    if h % block_h or w % block_w:
+        raise ValueError(f"{h}x{w} not divisible by block "
+                         f"({block_h}, {block_w})")
+    kernel = _make_finalize_fused_kernel(n, taps_y, taps_x, cap, sigma_low,
+                                         sigma_high, iterations, block_h,
+                                         block_w)
+    grid = (h // block_h, w // block_w)
+    img, wgt, rej = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, block_h, block_w), lambda i, j: (0, i, j)),
+            pl.BlockSpec((n * taps_y, block_h), lambda i, j: (0, i)),
+            pl.BlockSpec((n * taps_x, block_w), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_h, block_w), lambda i, j: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cand_v_raw, wys, wxs)
+    return img, wgt, rej
+
+
 @partial(jax.jit,
          static_argnames=("cap", "sigma_low", "sigma_high", "iterations",
                           "interpret", "block_h", "block_w"))

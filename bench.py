@@ -43,6 +43,9 @@ import numpy as np
 N_FRAMES = 16
 H, W = 5655, 2206
 BASELINE_MPX_S = 167.8 / 2.1  # 79.9 Mpx/s
+# per-process salt: the axon result cache is server-side and survives
+# process death — deterministic (input, i·1e-6) pairs would replay
+_SALT = (os.getpid() % 1000) * 1e-5
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -199,7 +202,7 @@ def main():
     times = []
     for trial in range(3):
         t0 = time.perf_counter()
-        cs = [checksum(fn(stack, jnp.float32((trial * K + i + 1) * 1e-6)))
+        cs = [checksum(fn(stack, jnp.float32(_SALT + (trial * K + i + 1) * 1e-6)))
               for i in range(K)]
         _ = float(reduce_all(*cs))
         times.append((time.perf_counter() - t0) / K)
@@ -208,6 +211,79 @@ def main():
     best = min(times)
     mpx = N_FRAMES * H * W / 1e6
     mpx_s = mpx / best
+
+    # --- stage split (VERDICT r3 #1): each pipeline stage K-batched on
+    # its real inputs, checksums reduced on device, one fetch. refine is
+    # derived (align − coarse): the two run inside one fused program and
+    # share the coarse surface. Overheads (launch + salt add) are NOT
+    # subtracted, so the parts can sum past the fused total.
+    from astroburst_tpu.alignment.phase_correlation import (
+        COARSE_MAX_DIM, _coarse_box_downsample, correlate_single,
+        phase_correlate_stack_traced)
+    from astroburst_tpu.imaging.stf import apply_stf_traced, auto_stf_traced
+    from astroburst_tpu.ops.stats import stats_core
+    from astroburst_tpu.stacking.onepass_kernel import shift_clip_onepass
+
+    view = stack[:, :H, :W]
+    ref_f = view[0]
+    tgts = view[1:]
+    offsets_h = jnp.asarray(np.asarray(out["offsets"]))
+    dys_h, dxs_h = offsets_h[:, 0], offsets_h[:, 1]
+    combined_h = out["combined"]
+    jax.block_until_ready((ref_f, tgts, dys_h, dxs_h, combined_h))
+
+    def stage_time(call, K_=8):
+        _ = float(call(0))
+        bests = 1e9
+        for trial in range(2):
+            t0 = time.perf_counter()
+            cs = [call(trial * K_ + i + 1) for i in range(K_)]
+            _ = float(reduce_all(*cs))
+            bests = min(bests, (time.perf_counter() - t0) / K_)
+        return bests * 1e3
+
+    @jax.jit
+    def _align_cs(r, t, eps):
+        dys, dxs, confs = phase_correlate_stack_traced(r, t)
+        return jnp.sum(dys) + jnp.sum(dxs) + jnp.sum(confs) + eps
+
+    @jax.jit
+    def _coarse_cs(r, t, eps):
+        r_ds, by, bx = _coarse_box_downsample(r, COARSE_MAX_DIM)
+        t_ds, _, _ = _coarse_box_downsample(t, COARSE_MAX_DIM)
+        cdy, cdx, conf = correlate_single(r_ds, t_ds)
+        return jnp.sum(cdy) + jnp.sum(cdx) + jnp.sum(conf) + eps
+
+    @jax.jit
+    def _stack_cs(s, dys, dxs, eps):
+        c, r = shift_clip_onepass(s, dys, dxs, 3.0, 3.0, 5,
+                                  true_shape=(H, W), zero_frames=(0,))
+        return c[0, 0] + c[-1, -1] + r.astype(jnp.float32) + eps
+
+    @jax.jit
+    def _stats_cs(c, eps):
+        mn, mx, _t, count, med, mad = stats_core(c, False)
+        sh, mt = auto_stf_traced(mn, mx, med,
+                                 jnp.maximum(mad * 1.4826, 1e-30), count)
+        u8 = apply_stf_traced(c, mn, mx, sh, mt, as_u8=True)
+        return u8[0, 0].astype(jnp.float32) + u8[-1, -1] + eps
+
+    def _e(i):
+        return jnp.float32(_SALT + i * 1e-6)
+
+    stage_ms = {}
+    stage_ms["align"] = round(stage_time(
+        lambda i: _align_cs(ref_f, tgts, _e(i))), 2)
+    stage_ms["coarse"] = round(stage_time(
+        lambda i: _coarse_cs(ref_f, tgts, _e(i))), 2)
+    stage_ms["refine_derived"] = round(
+        max(stage_ms["align"] - stage_ms["coarse"], 0.0), 2)
+    stage_ms["stack"] = round(stage_time(
+        lambda i: _stack_cs(stack, dys_h, dxs_h, _e(i))), 2)
+    stage_ms["stats_stf"] = round(stage_time(
+        lambda i: _stats_cs(combined_h, _e(i))), 2)
+    stage_ms["fused_total"] = round(best * 1e3, 2)
+    log(f"stage split: {stage_ms}")
 
     # fetch floor: single-scalar RTT through the tunnel
     one = jnp.float32(1.0) + out["stf"][0] * 0
@@ -242,12 +318,17 @@ def main():
     stf_lat = []
     for trial in range(3):
         t0 = time.perf_counter()
-        cs = [render(plane, jnp.float32(0.01 + (trial * K + i) * 1e-5),
+        cs = [render(plane, jnp.float32(0.01 + _SALT + (trial * K + i) * 1e-5),
                      jnp.float32(0.3)) for i in range(K)]
         _ = float(reduce_all(*cs))
         stf_lat.append((time.perf_counter() - t0) / K)
     stf_device_ms = min(stf_lat) * 1e3
-    log(f"stf device (4096², K-batched): {stf_device_ms:.2f} ms")
+    # all three trials recorded: stf_device_ms drifted 2.84 → 5.32 ms
+    # between r02 and r03 with no artifact explaining it — trial spread
+    # plus the fetch floor make box contention visible in the JSON
+    stf_trials = [round(t * 1e3, 2) for t in stf_lat]
+    log(f"stf device (4096², K-batched): {stf_device_ms:.2f} ms "
+        f"trials={stf_trials}")
 
     # host-side binary preview framing (ops/ipc.py) on the fetched
     # 2048² downsample: the preview path sends (header, pixel view)
@@ -287,7 +368,7 @@ def main():
     wplane.block_until_ready()
 
     def warp_cs(x, i):
-        o = warp_shear(x + jnp.float32(i * 1e-6), wt, 4096, 4096)
+        o = warp_shear(x + jnp.float32(_SALT + i * 1e-6), wt, 4096, 4096)
         return o[2048, 2048] + o[100, 100]
     warp_jit = jax.jit(warp_cs)
     _ = float(warp_jit(wplane, 0))
@@ -321,6 +402,8 @@ def main():
         "unit": "Mpx/s",
         "vs_baseline": round(mpx_s / BASELINE_MPX_S, 2),
         "stf_device_ms": round(stf_device_ms, 2),
+        "stf_device_ms_trials": stf_trials,
+        "stage_ms": stage_ms,
         "ipc_encode_ms": round(ipc_encode_ms, 4),
         "ipc_copy_ms": round(ipc_copy_ms, 2),
         "fetch_floor_ms": round(fetch_floor * 1e3, 1),

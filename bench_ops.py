@@ -20,10 +20,22 @@ Run standalone (`python bench_ops.py`) for the table, or bench.py
 folds the dict into its JSON line as "ops".
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# per-PROCESS salt folded into every device-input perturbation: the
+# axon result cache is SERVER-side and survives process death, so a
+# deterministic (input, i·1e-6) pair re-run in a fresh process would
+# replay cached results and report artificially low device times
+_SALT = (os.getpid() % 1000) * 1e-5
+
+
+def _eps(i):
+    import jax.numpy as jnp
+    return jnp.float32(_SALT + i * 1e-6)
 
 
 def log(*a):
@@ -93,14 +105,18 @@ def bench_hist_autostf():
         sh, mt = auto_stf_traced(mn, mx, med, sigma, count)
         return sh + mt + med
 
-    return _device_time_ms(lambda i: run(x + jnp.float32(i * 1e-6)))
+    return _device_time_ms(lambda i: run(x + _eps(i)))
 
 
 def bench_star_detection(h, w, n_stars, seed=2, max_peaks=1024):
-    """detect_stars σ=5 end-to-end (device kernels + the host dedupe
-    pass + its fetch)."""
+    """detect_stars σ=5: wall end-to-end (device kernels + the host
+    dedupe pass + its fetch) plus device_ms of the fused
+    background+detect program alone (K-batched, checksums reduced on
+    device, one fetch) — so a reader can split the lab's ~30 ms fetch
+    floor out of the wall number."""
     jax, jnp = _jx()
-    from astroburst_tpu.analysis.star_detection import detect_stars
+    from astroburst_tpu.analysis.star_detection import (_detect_fused,
+                                                        detect_stars)
 
     x = jnp.asarray(_star_field(h, w, n_stars, seed=seed))
     x.block_until_ready()
@@ -108,30 +124,52 @@ def bench_star_detection(h, w, n_stars, seed=2, max_peaks=1024):
     n_found = len(res.stars)
     best = 1e9
     for i in range(3):
-        xi = x + jnp.float32((i + 1) * 1e-6)
+        xi = x + _eps(i + 1)
         xi.block_until_ready()
         t0 = time.perf_counter()
         res = detect_stars(xi, 5.0, max_peaks=max_peaks)
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3, n_found
+
+    tile_size = min(max(min(h, w) // 8, 32), 256)
+
+    def dev_call(i):
+        packed = _detect_fused(x + _eps(i), tile_size, 5.0, max_peaks)
+        return jnp.sum(packed[:, :8])
+
+    dev_ms = _device_time_ms(dev_call, K=4)
+    return best * 1e3, dev_ms, n_found
 
 
-def bench_masked_stretch():
-    """Masked stretch, 10 iterations, 4096² (ref 1.2 s, tex:617).
-    Star-mask generation + iterative MTF solve, all on device."""
+def bench_masked_stretch(converged: bool = False):
+    """Masked stretch at 4096²: star detection + mask paint + iterative
+    MTF solve. Two configurations:
+
+    - fixed ×10 (ref 1.2 s, tex:617): convergence_threshold=0 pins the
+      while_loop to all 10 iterations, matching the reference row.
+    - converged (ref 0.7 s "converged after 4 iterations", README:106):
+      default threshold, device-side early stop — reports the actual
+      iteration count alongside the time.
+
+    Wall time per call INCLUDES the two host fetches the real command
+    pays (detection's packed array + the packed info row)."""
     jax, jnp = _jx()
     from astroburst_tpu.imaging.masked_stretch import (MaskedStretchConfig,
                                                        masked_stretch)
 
     x = jnp.asarray(_star_field(4096, 4096, 3000, seed=3))
     x.block_until_ready()
-    cfg = MaskedStretchConfig(iterations=10)
+    cfg = (MaskedStretchConfig(iterations=10) if converged else
+           MaskedStretchConfig(iterations=10, convergence_threshold=0.0))
+
+    iters_seen = [0]
 
     def call(i):
-        res = masked_stretch(x + jnp.float32(i * 1e-6), cfg)
+        res = masked_stretch(x + _eps(i), cfg)
+        iters_seen[0] = res.iterations_run
         return res.image[0, 0] + res.image[-1, -1]
 
-    return _device_time_ms(call, K=4)
+    ms = _device_time_ms(call, K=4)
+    return ms, iters_seen[0]
 
 
 def bench_tone_curves():
@@ -153,7 +191,7 @@ def bench_tone_curves():
         rr, gg, bb = apply_curve_rgb(r, g, b, curve, curve, curve)
         return rr[0, 0] + gg[100, 100] + bb[-1, -1]
 
-    return _device_time_ms(lambda i: run(r + jnp.float32(i * 1e-6), g, b))
+    return _device_time_ms(lambda i: run(r + _eps(i), g, b))
 
 
 def bench_blend_stf_lum():
@@ -189,7 +227,7 @@ def bench_blend_stf_lum():
         return outs[0][0, 0] + outs[1][100, 100] + outs[2][-1, -1] + lum[5, 5]
 
     return _device_time_ms(
-        lambda i: run(chans[0] + jnp.float32(i * 1e-6), chans[1], chans[2]),
+        lambda i: run(chans[0] + _eps(i), chans[1], chans[2]),
         K=4)
 
 
@@ -214,7 +252,7 @@ def bench_sho_blend():
         return r[0, 0] + g[100, 100] + b[-1, -1]
 
     return _device_time_ms(
-        lambda i: run(chans[0] + jnp.float32(i * 1e-6), chans[1], chans[2]))
+        lambda i: run(chans[0] + _eps(i), chans[1], chans[2]))
 
 
 def bench_white_balance():
@@ -248,7 +286,7 @@ def bench_white_balance():
         return outs[0][0, 0] + outs[1][1, 1] + outs[2][2, 2] + fac.sum()
 
     return _device_time_ms(
-        lambda i: run(chans[0] + jnp.float32(i * 1e-6), chans[1], chans[2]))
+        lambda i: run(chans[0] + _eps(i), chans[1], chans[2]))
 
 
 def bench_affine_align(h=5655, w=2206, n_stars=90):
@@ -310,7 +348,7 @@ def bench_affine_align(h=5655, w=2206, n_stars=90):
 
     def dev_call(i):
         warped, info = FC._fused_align_warp(
-            ref_d, tgt_d + jnp.float32(i * 1e-6), tile, SD.MAX_PEAKS,
+            ref_d, tgt_d + _eps(i), tile, SD.MAX_PEAKS,
             m_v, m_h, nb_v, nb_h, False)
         return jnp.sum(info) + warped[0, 0]
 
@@ -318,13 +356,18 @@ def bench_affine_align(h=5655, w=2206, n_stars=90):
     return best * 1e3, dev_ms, res.method, ok
 
 
-def bench_drizzle():
+def bench_drizzle(kernel_name: str = "square", band_rows: int = 128):
     """Exact-parity drizzle, 10×4096² → 2×, 5 clip iterations
-    (ref 4.2 s, tex:614)."""
+    (ref 4.2 s for the default square kernel, tex:614; the reference
+    publishes no gaussian/lanczos3 numbers — those rows record ours
+    for pipeline-stage evidence)."""
     jax, jnp = _jx()
     from astroburst_tpu.dtypes import DrizzleKernel
     from astroburst_tpu.stacking.drizzle import _drizzle_kernel_exact
 
+    kern = {"square": DrizzleKernel.SQUARE,
+            "gaussian": DrizzleKernel.GAUSSIAN,
+            "lanczos3": DrizzleKernel.LANCZOS3}[kernel_name]
     rng = np.random.default_rng(10)
     stack = jnp.asarray(rng.normal(100, 8, (10, 4096, 4096))
                         .astype(np.float32))
@@ -334,9 +377,9 @@ def bench_drizzle():
 
     def call(i):
         img, wgt, rej = _drizzle_kernel_exact(
-            stack + jnp.float32(i * 1e-6), d_ys, d_xs, 2.0, 0.7,
-            DrizzleKernel.SQUARE, 8192, 8192, 3.0, 3.0, 5,
-            band_rows=128)
+            stack + _eps(i), d_ys, d_xs, 2.0, 0.7,
+            kern, 8192, 8192, 3.0, 3.0, 5,
+            band_rows=band_rows)
         return img[0, 0] + img[-1, -1] + wgt[100, 100] + \
             rej.astype(jnp.float32)
 
@@ -363,11 +406,23 @@ def bench_rl_deconv(fast: bool = False):
 
     def call(i):
         est, iters, conv = _rl_kernel(
-            img + jnp.float32(i * 1e-6), kr, ki, jnp.float32(0.0),
+            img + _eps(i), kr, ki, jnp.float32(0.0),
             jnp.float32(0.1), fr, 20, False, fast=fast)
         return est[0, 0] + est[-1, -1] + conv
 
-    return _device_time_ms(call, K=3)
+    ms = _device_time_ms(call, K=3)
+    if not fast:
+        return ms
+    # accuracy gate for the opt-in precision mode: max rel error of the
+    # fast-precision estimate vs the f32 path on the same input
+    kr32, ki32 = _psf_spectrum(psf, fr, fr, fast=False)
+    e_fast, _, _ = _rl_kernel(img, kr, ki, jnp.float32(0.0),
+                              jnp.float32(0.1), fr, 20, False, fast=True)
+    e_f32, _, _ = _rl_kernel(img, kr32, ki32, jnp.float32(0.0),
+                             jnp.float32(0.1), fr, 20, False, fast=False)
+    scale = jnp.maximum(jnp.max(jnp.abs(e_f32)), 1e-30)
+    rel = float(jnp.max(jnp.abs(e_fast - e_f32)) / scale)
+    return ms, rel
 
 
 def bench_single_fits():
@@ -419,12 +474,16 @@ def bench_single_fits():
     img_d.block_until_ready()
 
     def call(i):
-        return device_part(img_d, jnp.float32(i * 1e-6))
+        return device_part(img_d, _eps(i))
 
     dev_ms = _device_time_ms(call, K=8)
     os.unlink(p)
     os.rmdir(d)
-    return decode_best * 1e3 + dev_ms, decode_best * 1e3, dev_ms
+    # modeled PCIe H2D cost so the row stays end-to-end comparable: a
+    # production host moves 64 MB over PCIe gen4 at ~12 GB/s
+    h2d_modeled_ms = 64.0 / 12.0
+    return (decode_best * 1e3 + dev_ms, decode_best * 1e3, dev_ms,
+            h2d_modeled_ms)
 
 
 def bench_sigma_clip_stack():
@@ -443,7 +502,7 @@ def bench_sigma_clip_stack():
     zeros = jnp.zeros(10, jnp.float32)
 
     def call(i):
-        c, r = shift_clip_onepass(stack + jnp.float32(i * 1e-6), zeros,
+        c, r = shift_clip_onepass(stack + _eps(i), zeros,
                                   zeros, 3.0, 3.0, 5,
                                   true_shape=(4096, 4096))
         return c[0, 0] + c[-1, -1] + r.astype(jnp.float32)
@@ -476,7 +535,11 @@ def bench_fits_rgb_export():
     r = rng.normal(100, 10, (side, side)).astype(np.float32)
     g = r * 0.9
     b = r * 1.1
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = None
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize > 900 * 1024 * 1024:  # room for 618 MB
+            base = "/dev/shm"
     d = tempfile.mkdtemp(prefix="bench_export_", dir=base)
     p = os.path.join(d, "rgb.fits")
     best = 1e9
@@ -487,7 +550,205 @@ def bench_fits_rgb_export():
     sz = os.path.getsize(p) / 1e6
     os.unlink(p)
     os.rmdir(d)
-    return best * 1e3, sz
+    return best * 1e3, sz, ("tmpfs" if base else "disk")
+
+
+def bench_batch_ingest():
+    """Batch processing, 10 frames × 64 MB: decode → per-frame stats
+    (ref 450 ms = 1.4 GB/s on 16 cores, tex:610 + README:37). Host
+    decode timed per file (page-cache warm, as the reference measures);
+    per-frame device stats timed K-batched. H2D excluded by the same
+    documented lab-tunnel policy as single_fits_4096."""
+    import tempfile
+
+    jax, jnp = _jx()
+    from astroburst_tpu.io.fits_reader import load_fits_image
+    from astroburst_tpu.io.fits_writer import write_fits_mono
+    from astroburst_tpu.ops.stats import stats_core
+
+    rng = np.random.default_rng(13)
+    d = tempfile.mkdtemp(prefix="bench_batch_")
+    paths = []
+    for k in range(10):
+        plane = rng.normal(100, 10, (4096, 4096)).astype(np.float32)
+        p = os.path.join(d, f"f{k}.fits")
+        write_fits_mono(p, plane, None, bitpix=-32)
+        paths.append(p)
+
+    planes = [load_fits_image(p) for p in paths]  # warm cache + path
+    decode_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        planes = [load_fits_image(p) for p in paths]
+        decode_best = min(decode_best, time.perf_counter() - t0)
+
+    stack = jnp.asarray(np.stack([np.asarray(pl) for pl in planes]))
+    stack.block_until_ready()
+
+    @jax.jit
+    def stats10(s, eps):
+        acc = eps
+        for k in range(10):
+            mn, mx, _t, cnt, med, mad = stats_core(s[k], False)
+            acc = acc + mn + mx + med + mad + cnt.astype(jnp.float32)
+        return acc
+
+    dev_ms = _device_time_ms(lambda i: stats10(stack, _eps(i)), K=4)
+    for p in paths:
+        os.unlink(p)
+    os.rmdir(d)
+    gb = 10 * 64.0 / 1000.0
+    total_ms = decode_best * 1e3 + dev_ms
+    return total_ms, decode_best * 1e3, dev_ms, gb / (total_ms / 1e3)
+
+
+def bench_cube_open():
+    """Open a 2 GB IFU datacube + fetch one frame (ref 300 ms,
+    README:37, lazy.rs:125). Builds a real 500×1000×1000 BITPIX=-32
+    file on disk once (skipped when the volume lacks ~2.5 GB free),
+    then times LazyCube construction (mmap + header scan) and a
+    mid-cube get_frame (4 MB read + byteswap)."""
+    import tempfile
+
+    from astroburst_tpu.cube.lazy import LazyCube
+
+    d = tempfile.mkdtemp(prefix="bench_cube_")
+    st = os.statvfs(d)
+    if st.f_bavail * st.f_frsize < 2_600_000_000:
+        os.rmdir(d)
+        raise RuntimeError("needs ~2.5 GB free disk for the 2 GB cube")
+    p = os.path.join(d, "cube.fits")
+    b_, h_, w_ = 500, 1000, 1000
+
+    def card(k, v):
+        return f"{k:<8}= {v:>20}".ljust(80).encode()
+
+    hdr = (card("SIMPLE", "T") + card("BITPIX", "-32") + card("NAXIS", "3")
+           + card("NAXIS1", str(w_)) + card("NAXIS2", str(h_))
+           + card("NAXIS3", str(b_)) + "END".ljust(80).encode())
+    hdr += b" " * (2880 - len(hdr) % 2880)
+    rng = np.random.default_rng(14)
+    with open(p, "wb") as f:
+        f.write(hdr)
+        plane = (100.0 + rng.standard_normal((h_, w_))).astype(">f4")
+        raw = plane.tobytes()
+        for _ in range(b_):
+            f.write(raw)
+        pad = (2880 - (f.tell() % 2880)) % 2880
+        f.write(b"\0" * pad)
+
+    open_best = 1e9
+    fetch_best = 1e9
+    for k in range(3):
+        t0 = time.perf_counter()
+        cube = LazyCube(p)
+        open_best = min(open_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fr = cube.get_frame(250 + k)  # distinct → no LRU hit
+        fetch_best = min(fetch_best, time.perf_counter() - t0)
+        assert fr.shape == (h_, w_)
+        cube.close()
+    os.unlink(p)
+    os.rmdir(d)
+    return open_best * 1e3, fetch_best * 1e3
+
+
+def bench_wavelet_denoise():
+    """À-trous wavelet denoise, 4096², 5 scales (pipeline stage —
+    wavelet.rs:41; the reference publishes no standalone figure)."""
+    jax, jnp = _jx()
+    from astroburst_tpu.imaging.wavelet import (WaveletConfig,
+                                                _wavelet_kernel)
+
+    cfg = WaveletConfig()
+    num_scales = min(max(cfg.num_scales, 1), 8)
+    thr = list(cfg.thresholds) or [1.0]
+    while len(thr) < num_scales:
+        thr.append(thr[-1])
+    thr_d = jnp.asarray(thr[:num_scales], jnp.float32)
+
+    x = jnp.asarray(_star_field(4096, 4096, 300, seed=15))
+    x.block_until_ready()
+
+    def call(i):
+        out, noise = _wavelet_kernel(x + _eps(i), thr_d, num_scales,
+                                     cfg.linear_denoise)
+        return out[0, 0] + out[-1, -1] + noise
+
+    return _device_time_ms(call, K=4), num_scales
+
+
+def bench_background_extraction():
+    """Polynomial background extraction, 4096² (pipeline stage —
+    background.rs:55; no published standalone figure). End-to-end wall
+    including the cell-median fetch + host polyfit, like the real
+    command."""
+    jax, jnp = _jx()
+    from astroburst_tpu.imaging.background import (BackgroundConfig,
+                                                   extract_background)
+
+    x = jnp.asarray(_star_field(4096, 4096, 300, seed=16))
+    x.block_until_ready()
+    cfg = BackgroundConfig()
+    res = extract_background(x, cfg)  # compile
+    best = 1e9
+    for i in range(3):
+        xi = x + _eps(i + 1)
+        xi.block_until_ready()
+        t0 = time.perf_counter()
+        res = extract_background(xi, cfg)
+        res.corrected.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def bench_affine_per_target(h=5655, w=2206, n_stars=90):
+    """The real compose workload: align G and B to R with ONE reference
+    detection (RefStars reuse — blend.rs:226 aligns every channel to
+    the same reference). Reports per-target wall; the round-3 row only
+    ever aligned a single target, so the amortization was unmeasured."""
+    import math
+
+    jax, jnp = _jx()
+    from astroburst_tpu.alignment.fused_chain import (align_and_warp,
+                                                      detect_ref_stars)
+
+    base = _star_field(h, w, n_stars, seed=8, amp=5000.0, fwhm=3.0,
+                       halos=True)
+    targets = []
+    for k, (rot_deg, tx, ty) in enumerate([(0.4, 3.2, -2.1),
+                                           (-0.3, -1.7, 2.6)]):
+        th = math.radians(rot_deg)
+        ct, st = math.cos(th), math.sin(th)
+        cy, cx = h / 2.0, w / 2.0
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        sx = ct * (xx - cx) - st * (yy - cy) + cx + tx
+        sy = st * (xx - cx) + ct * (yy - cy) + cy + ty
+        xi = np.clip(sx.astype(np.int32), 0, w - 1)
+        yi = np.clip(sy.astype(np.int32), 0, h - 1)
+        targets.append(base[yi, xi] + np.random.default_rng(20 + k)
+                       .normal(0, 1.5, (h, w)).astype(np.float32))
+
+    ref_d = jnp.asarray(base)
+    tgt_ds = [jnp.asarray(t) for t in targets]
+    jax.block_until_ready((ref_d, *tgt_ds))
+
+    def run():
+        rs = detect_ref_stars(ref_d)
+        ok = True
+        for t in tgt_ds:
+            warped, res = align_and_warp(ref_d, t, ref_stars=rs)
+            warped.block_until_ready()
+            ok = ok and res.method in ("affine", "rigid")
+        return ok
+
+    ok = run()  # compile
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ok = run()
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3 / len(tgt_ds), ok
 
 
 def run_all():
@@ -509,20 +770,31 @@ def run_all():
         "ms": round(bench_hist_autostf(), 2), "ref_ms": 35.0})
 
     def _star_4096():
-        ms, n = bench_star_detection(4096, 4096, 3000, seed=2,
-                                     max_peaks=4096)
-        return {"ms": round(ms, 1), "ref_ms": 80.0, "stars": n}
+        ms, dev_ms, n = bench_star_detection(4096, 4096, 3000, seed=2,
+                                             max_peaks=4096)
+        return {"ms": round(ms, 1), "device_ms": round(dev_ms, 1),
+                "ref_ms": 80.0, "stars": n}
     row("star_detect_4096", "star detection 4096² (~3000 stars)",
         _star_4096)
 
     def _star_5655():
-        ms, n = bench_star_detection(5655, 2206, 200, seed=3)
-        return {"ms": round(ms, 1), "ref_ms": 97.0, "stars": n}
+        ms, dev_ms, n = bench_star_detection(5655, 2206, 200, seed=3)
+        return {"ms": round(ms, 1), "device_ms": round(dev_ms, 1),
+                "ref_ms": 97.0, "stars": n}
     row("star_detect_5655", "star detection 5655×2206 (200 stars)",
         _star_5655)
 
-    row("masked_stretch_4096_x10", "masked stretch ×10 4096²", lambda: {
-        "ms": round(bench_masked_stretch(), 1), "ref_ms": 1200.0})
+    def _masked10():
+        ms, iters = bench_masked_stretch(converged=False)
+        return {"ms": round(ms, 1), "ref_ms": 1200.0, "iterations": iters}
+    row("masked_stretch_4096_x10", "masked stretch ×10 4096²", _masked10)
+
+    def _masked_conv():
+        ms, iters = bench_masked_stretch(converged=True)
+        return {"ms": round(ms, 1), "ref_ms": 700.0, "iterations": iters,
+                "ref_note": "in-app converged-4-iter run, README:106"}
+    row("masked_stretch_converged", "masked stretch converged 4096²",
+        _masked_conv)
 
     row("tone_curves_5655x3", "tone curves 5655×2206×3", lambda: {
         "ms": round(bench_tone_curves(), 2), "ref_ms": 2425.0})
@@ -543,12 +815,37 @@ def run_all():
     row("affine_align_5655", "affine channel alignment 5655×2206",
         _affine)
 
+    def _affine_per_target():
+        ms, ok = bench_affine_per_target()
+        return {"ms": round(ms, 1), "ref_ms": 800.0, "recovered": ok,
+                "note": "G,B→R with one shared RefStars detection"}
+    row("affine_align_per_target", "affine align per target (RefStars ×2)",
+        _affine_per_target)
+
     def _single():
-        ms, dec_ms, dev_ms = bench_single_fits()
+        ms, dec_ms, dev_ms, h2d = bench_single_fits()
         return {"ms": round(ms, 1), "decode_ms": round(dec_ms, 1),
-                "device_ms": round(dev_ms, 1), "ref_ms": 120.0,
-                "h2d_excluded": "lab tunnel 0.03 GB/s; see docstring"}
+                "device_ms": round(dev_ms, 1),
+                "h2d_modeled_ms": round(h2d, 1), "ref_ms": 120.0,
+                "h2d_excluded": "lab tunnel 0.03 GB/s; modeled PCIe "
+                                "cost in h2d_modeled_ms"}
     row("single_fits_4096", "single FITS processing 4096²", _single)
+
+    def _batch():
+        ms, dec_ms, dev_ms, gbs = bench_batch_ingest()
+        return {"ms": round(ms, 1), "decode_ms": round(dec_ms, 1),
+                "device_ms": round(dev_ms, 1),
+                "gb_s": round(gbs, 2), "ref_ms": 450.0,
+                "ref_gb_s": 1.4,
+                "h2d_excluded": "lab tunnel 0.03 GB/s; see docstring"}
+    row("batch_ingest_10x64mb", "batch ingest+stats 10×64 MB", _batch)
+
+    def _cube():
+        open_ms, fetch_ms = bench_cube_open()
+        return {"ms": round(open_ms + fetch_ms, 1),
+                "open_ms": round(open_ms, 2),
+                "frame_fetch_ms": round(fetch_ms, 1), "ref_ms": 300.0}
+    row("cube_2gb_open", "2 GB IFU cube lazy open + frame", _cube)
 
     row("sigma_clip_stack_10x4096", "sigma-clip stack 10×4096² ×5 iters",
         lambda: {"ms": round(bench_sigma_clip_stack(), 1),
@@ -556,17 +853,40 @@ def run_all():
 
     row("drizzle_10x4096_2x", "drizzle 10×4096² 2×", lambda: {
         "ms": round(bench_drizzle(), 0), "ref_ms": 4200.0})
+    row("drizzle_gaussian_10x4096_2x", "drizzle gaussian 10×4096² 2×",
+        lambda: {"ms": round(bench_drizzle("gaussian"), 0),
+                 "ref_ms": None})
+    row("drizzle_lanczos3_10x4096_2x", "drizzle lanczos3 10×4096² 2×",
+        lambda: {"ms": round(bench_drizzle("lanczos3"), 0),
+                 "ref_ms": None})
+
+    def _wavelet():
+        ms, scales = bench_wavelet_denoise()
+        return {"ms": round(ms, 2), "ref_ms": None, "scales": scales}
+    row("wavelet_denoise_4096", "wavelet denoise 4096² (5 scales)",
+        _wavelet)
+
+    row("background_extract_4096", "background extraction 4096²",
+        lambda: {"ms": round(bench_background_extraction(), 1),
+                 "ref_ms": None})
 
     row("rl_deconv_2048_x20", "RL deconvolution 2048²×20", lambda: {
         "ms": round(bench_rl_deconv(), 1), "ref_ms": None,
         "r2_ms": 554.0})
+
+    def _rl_fast():
+        ms, rel = bench_rl_deconv(fast=True)
+        return {"ms": round(ms, 1), "ref_ms": None,
+                "max_rel_err_vs_f32": float(f"{rel:.2e}")}
     row("rl_deconv_2048_x20_fast",
-        "RL deconvolution 2048²×20 fast_precision", lambda: {
-            "ms": round(bench_rl_deconv(fast=True), 1), "ref_ms": None})
+        "RL deconvolution 2048²×20 fast_precision", _rl_fast)
 
     def _export():
-        ms, mb = bench_fits_rgb_export()
-        return {"ms": round(ms, 0), "ref_ms": 617.0, "mb": round(mb, 0)}
+        ms, mb, where = bench_fits_rgb_export()
+        return {"ms": round(ms, 0), "ref_ms": 617.0, "mb": round(mb, 0),
+                "dir": where,
+                "policy": "RAM-backed write matches the reference's "
+                          "page-cache write; see docstring"}
     row("fits_rgb_export_618mb", "FITS RGB export 618 MB", _export)
 
     return ops

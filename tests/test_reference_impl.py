@@ -227,3 +227,33 @@ def test_drizzle_pallas_finalize_matches_xla(rng):
                                atol=2e-4, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
     assert int(gr) == int(rr)
+
+
+def test_drizzle_fused_finalize_kernels_and_nans(rng):
+    """The fused finalize (in-kernel w = wy·wx + finiteness, smallest-P
+    sort shrink) == the XLA exact path for every kernel shape, with
+    NaN input pixels excluded identically (drizzle.rs:121-195)."""
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.stacking.drizzle import _drizzle_kernel_exact
+
+    frames = [rng.normal(10, 1, (14, 20)).astype(np.float32)
+              for _ in range(4)]
+    frames[1][7, 9] = 300.0
+    frames[0][3, 4] = np.nan
+    frames[2][10, 15] = np.nan
+    offs = [(0.0, 0.0), (0.4, -0.25), (-0.3, 0.6), (1.2, 0.8)]
+    stack = jnp.stack([jnp.asarray(f) for f in frames])
+    d_xs = jnp.asarray([-o[0] for o in offs], jnp.float32)
+    d_ys = jnp.asarray([-o[1] for o in offs], jnp.float32)
+    for kern in (DrizzleKernel.SQUARE, DrizzleKernel.GAUSSIAN,
+                 DrizzleKernel.LANCZOS3):
+        args = (stack, d_ys, d_xs, 2.0, 1.0, kern, 28, 40, 3.0, 3.0, 3)
+        ri, rw, rr = _drizzle_kernel_exact(*args, band_rows=8,
+                                           use_pallas=False)
+        gi, gw, gr = _drizzle_kernel_exact(*args, band_rows=8,
+                                           use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                                   atol=2e-4, rtol=1e-6, err_msg=str(kern))
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   atol=1e-5, err_msg=str(kern))
+        assert int(gr) == int(rr), kern
