@@ -62,7 +62,7 @@ def _psf_spectrum(psf, fft_rows: int, fft_cols: int, fast: bool = False):
     buf = jnp.zeros((fft_rows, fft_cols), jnp.float32)
     buf = jax.lax.dynamic_update_slice(buf, psf, (0, 0))
     buf = jnp.roll(buf, (-cy, -cx), axis=(0, 1))
-    with F.matmul_precision("default" if fast else "highest"):
+    with F.matmul_precision("high" if fast else "highest"):
         return F.rfft2(buf)
 
 
@@ -89,7 +89,7 @@ def _rl_kernel(image, psf_r, psf_i, lam, dering_threshold,
         # real-packed convolution: half-spectrum forward, pointwise on
         # C/2+1 columns, half-packed real inverse (ops/fft.py rfft2)
         buf = jnp.pad(x, ((0, fft_rows - rows), (0, fft_cols - cols)))
-        with F.matmul_precision("default" if fast else "highest"):
+        with F.matmul_precision("high" if fast else "highest"):
             xr, xi = F.rfft2(buf)
             pr = xr * kr - xi * ki
             pi = xr * ki + xi * kr

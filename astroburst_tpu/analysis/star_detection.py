@@ -456,6 +456,51 @@ def detect_stars_pair(image_a, image_b, sigma_threshold: float = 5.0,
             _postprocess_packed(both[1], float(sigma_threshold), rows, cols))
 
 
+def dedupe_packed_device(packed: jax.Array, scan_cap: int = 512):
+    """Brightest-first 3-px greedy dedupe of the packed candidates ON
+    DEVICE, exactly reproducing `_postprocess_packed`'s accept set.
+
+    Decomposition that avoids a max_peaks-step sequential scan: a
+    candidate with NO other valid candidate within 3 px can neither
+    suppress nor be suppressed — it is accepted iff valid, in
+    parallel. Only the CONFLICTED subset (3-px pairs — a handful of
+    cluster cores on real fields) depends on order; those run the
+    sequential greedy scan in global flux order, capped at
+    ``scan_cap`` (the accept sequence is exact whenever the conflicted
+    set fits the cap; beyond it the dimmest conflicted extras are
+    dropped, same precedent as the align chain's scan_cap=256).
+
+    Returns accepted [max_peaks] bool aligned with `packed`'s columns.
+    """
+    cys, cxs, fluxes = packed[0], packed[1], packed[2]
+    valid = packed[8] > 0.5
+    k = cys.shape[0]
+    d2 = ((cys[:, None] - cys[None, :]) ** 2 +
+          (cxs[:, None] - cxs[None, :]) ** 2)
+    pair = valid[:, None] & valid[None, :] & (d2 < 9.0)
+    eye = jnp.eye(k, dtype=bool)
+    conflicted = jnp.any(pair & ~eye, axis=1) & valid
+    acc_free = valid & ~conflicted
+
+    # greedy scan over the conflicted subset in flux-desc order
+    score = jnp.where(conflicted, -fluxes, jnp.inf)
+    order = jnp.argsort(score)[:scan_cap]
+    ys = jnp.take(cys, order)
+    xs = jnp.take(cxs, order)
+    val = jnp.take(conflicted, order)
+
+    def step(acc, i):
+        dd = (ys - ys[i]) ** 2 + (xs - xs[i]) ** 2
+        clash = jnp.any(acc & (dd < 9.0))
+        acc = acc.at[i].set(val[i] & ~clash)
+        return acc, None
+
+    acc_sub, _ = jax.lax.scan(step, jnp.zeros(order.shape[0], bool),
+                              jnp.arange(order.shape[0]))
+    accepted = acc_free.at[order].max(acc_sub)
+    return accepted
+
+
 def _postprocess_packed(packed: np.ndarray, sigma_threshold: float,
                         rows: int, cols: int) -> DetectionResult:
     (cys, cxs, fluxes, fwhms, eccs, pvals, npixs, snrs) = packed[:8]

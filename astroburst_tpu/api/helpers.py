@@ -202,15 +202,18 @@ def parse_align_method(s: Optional[str]):
     return AlignMethod.parse(s)
 
 
+@jax.jit
+def _to_u8(x):
+    return jnp.clip(jnp.round(
+        jnp.where(jnp.isfinite(x), x, 0.0) * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def render_rgb_preview(r_stretched, g_stretched, b_stretched, path: str,
                        max_dim: int = 4096) -> None:
     """Assume planes already stretched to [0,1]; quantize + save
-    (helpers.rs:204-262)."""
-    @jax.jit
-    def to_u8(x):
-        return jnp.clip(jnp.round(
-            jnp.where(jnp.isfinite(x), x, 0.0) * 255.0), 0, 255).astype(jnp.uint8)
-
-    planes = [np.asarray(to_u8(nearest_downsample(p, max_dim)))
+    (helpers.rs:204-262). The u8 quantize jit lives at module level —
+    a per-call closure re-compiled on every preview (a remote-compile
+    round trip per call on tunneled hosts)."""
+    planes = [np.asarray(_to_u8(nearest_downsample(p, max_dim)))
               for p in (r_stretched, g_stretched, b_stretched)]
     save_rgb_png(planes[0], planes[1], planes[2], path)

@@ -14,7 +14,7 @@ solve are host f64 (they are not pixel work).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -94,7 +94,11 @@ def _cell_medians_kernel(image, grid: int, cell_h: int, cell_w: int):
     gmed = _median_pair(jnp.where(gvalid, gflat, jnp.inf), gcnt)
     gdev = jnp.where(gvalid, jnp.abs(gflat - gmed), jnp.inf)
     gmad = _median_pair(gdev, gcnt)
-    return cell_median, invalid_frac, counts, gmed, gmad
+    # ONE packed row: five separate host reads serialize at ~31 ms RTT
+    # each on tunneled hosts (counts ≤ cell area, exact in f32)
+    return jnp.concatenate([cell_median, invalid_frac,
+                            counts.astype(jnp.float32),
+                            jnp.stack([gmed, gmad])])
 
 
 def _poly_basis(ny: np.ndarray, nx: np.ndarray, degree: int) -> np.ndarray:
@@ -108,8 +112,13 @@ def _poly_basis(ny: np.ndarray, nx: np.ndarray, degree: int) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
-def _evaluate_model(coeffs: np.ndarray, rows: int, cols: int,
-                    degree: int) -> jax.Array:
+@lru_cache(maxsize=None)
+def _model_kernel(rows: int, cols: int, degree: int):
+    """Jitted model evaluator, cached per shape/degree — defining the
+    jit inside `_evaluate_model` recompiled it on EVERY call (a full
+    remote-compile round trip per extract_background on tunneled
+    hosts: the 4096² bench row measured 3.3 s of which ~3 s was
+    re-compilation)."""
     @jax.jit
     def kernel(c):
         ny = (jnp.arange(rows, dtype=jnp.float32) / rows - 0.5)[:, None]
@@ -123,7 +132,13 @@ def _evaluate_model(coeffs: np.ndarray, rows: int, cols: int,
                 idx += 1
         return out
 
-    return kernel(jnp.asarray(coeffs, jnp.float32))
+    return kernel
+
+
+def _evaluate_model(coeffs: np.ndarray, rows: int, cols: int,
+                    degree: int) -> jax.Array:
+    return _model_kernel(rows, cols, degree)(
+        jnp.asarray(coeffs, jnp.float32))
 
 
 @jax.jit
@@ -152,13 +167,13 @@ def extract_background(image, config: BackgroundConfig = BackgroundConfig(),
 
     if progress is not None:
         progress.tick_with_stage("sampling background")
-    cell_med, invalid_frac, counts, gmed, gmad = _cell_medians_kernel(
-        img, grid, cell_h, cell_w)
-    cell_med = np.asarray(cell_med, np.float64)
-    invalid_frac = np.asarray(invalid_frac)
-    counts = np.asarray(counts)
-    gmed = float(gmed)
-    sigma = float(gmad) * MAD_TO_SIGMA
+    packed = np.asarray(_cell_medians_kernel(img, grid, cell_h, cell_w))
+    nc = grid * grid
+    cell_med = packed[:nc].astype(np.float64)
+    invalid_frac = packed[nc:2 * nc]
+    counts = packed[2 * nc:3 * nc].astype(np.int64)
+    gmed = float(packed[3 * nc])
+    sigma = float(packed[3 * nc + 1]) * MAD_TO_SIGMA
 
     margin_h, margin_w = cell_h // 4, cell_w // 4
     inner_h = cell_h - 2 * margin_h

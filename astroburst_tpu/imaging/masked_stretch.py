@@ -151,6 +151,40 @@ def _mask_stretch_fused(image, xs, ys, radii, softness, luminance_ceiling,
     return out, jnp.concatenate([info, coverage[None]])
 
 
+@partial(jax.jit, static_argnames=("iterations", "luminance_protect",
+                                   "tile_size", "max_peaks"))
+def _detect_mask_stretch_fused(image, detection_sigma, min_fwhm, max_fwhm,
+                               growth, softness, luminance_ceiling,
+                               protection, target_bg, conv_threshold,
+                               iterations: int, luminance_protect: bool,
+                               tile_size: int, max_peaks: int):
+    """The WHOLE masked stretch — detection, device 3-px dedupe, FWHM
+    filter, mask paint, iterative MTF solve — as ONE device program
+    with ONE host fetch (the packed info row). The host round trip
+    after detection (the dedupe used to run there) cost a full tunnel
+    RTT per call; dedupe_packed_device reproduces the host accept set
+    exactly (star_detection.rs:215 flux-desc greedy)."""
+    from astroburst_tpu.analysis.star_detection import (_detect_fused,
+                                                        dedupe_packed_device)
+    from astroburst_tpu.imaging.star_mask import _mask_kernel
+
+    packed = _detect_fused(image, tile_size, detection_sigma, max_peaks)
+    accepted = dedupe_packed_device(packed)
+    fwhms = packed[3]
+    painted = accepted & (fwhms >= min_fwhm) & (fwhms <= max_fwhm)
+    # sanitize unpainted slots: empty candidates can carry NaN
+    # positions, and NaN→int casts in the paint's tile math are UB
+    xs = jnp.where(painted, packed[1], 0.0)  # packed rows: [cys, cxs, …]
+    ys = jnp.where(painted, packed[0], 0.0)
+    radii = jnp.where(painted, fwhms * growth, 0.0)
+    n_masked = jnp.sum(painted.astype(jnp.int32)).astype(jnp.float32)
+    mask, coverage = _mask_kernel(image, xs, ys, radii, softness,
+                                  luminance_ceiling, luminance_protect)
+    out, info = _stretch_core(image, mask, protection, target_bg,
+                              conv_threshold, iterations)
+    return out, jnp.concatenate([info, coverage[None], n_masked[None]])
+
+
 def masked_stretch_with_mask(image, mask_result: StarMaskResult,
                              config: MaskedStretchConfig) -> MaskedStretchResult:
     img = jnp.asarray(image)
@@ -168,29 +202,37 @@ def masked_stretch_with_mask(image, mask_result: StarMaskResult,
         converged=bool(info[2] > 0.5))
 
 
-def masked_stretch(image, config: MaskedStretchConfig = MaskedStretchConfig()
-                   ) -> MaskedStretchResult:
-    from astroburst_tpu.imaging.star_mask import (_star_arrays,
-                                                  detect_stars)
+def masked_stretch(image, config: MaskedStretchConfig = MaskedStretchConfig(),
+                   max_peaks: int = 4096) -> MaskedStretchResult:
+    """Full masked stretch (masked_stretch.rs:42-123): ONE device
+    program end to end — detection, device 3-px dedupe (exact
+    `_postprocess_packed` accept set), FWHM filter, mask paint,
+    while_loop MTF solve — and ONE host fetch for the scalar row."""
     img = jnp.asarray(image)
+    rows, cols = img.shape
     mask_cfg = StarMaskConfig(
         growth_factor=config.mask_growth, softness=config.mask_softness,
         luminance_protect=config.luminance_protect,
         luminance_ceiling=config.luminance_ceiling)
-    detection = detect_stars(img, mask_cfg.detection_sigma)
-    xs, ys, radii, n_masked = _star_arrays(detection, mask_cfg)
-    out, info = _mask_stretch_fused(
-        img, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(radii),
-        jnp.float32(mask_cfg.softness), jnp.float32(mask_cfg.luminance_ceiling),
+    if rows < 3 or cols < 3:
+        mask_result = generate_star_mask(image, mask_cfg)
+        return masked_stretch_with_mask(image, mask_result, config)
+    tile_size = min(max(min(rows, cols) // 8, 32), 256)
+    out, info = _detect_mask_stretch_fused(
+        img, jnp.float32(mask_cfg.detection_sigma),
+        jnp.float32(mask_cfg.min_fwhm), jnp.float32(mask_cfg.max_fwhm),
+        jnp.float32(mask_cfg.growth_factor),
+        jnp.float32(mask_cfg.softness),
+        jnp.float32(mask_cfg.luminance_ceiling),
         jnp.float32(config.protection_amount),
         jnp.float32(config.target_background),
         jnp.float32(config.convergence_threshold), config.iterations,
-        mask_cfg.luminance_protect)
+        mask_cfg.luminance_protect, tile_size, max_peaks)
     info = np.asarray(info)
     return MaskedStretchResult(
         image=out, iterations_run=int(info[0]),
         final_background=float(info[1]),
-        stars_masked=n_masked,
+        stars_masked=int(info[4]),
         mask_coverage=float(info[3]),
         converged=bool(info[2] > 0.5))
 

@@ -28,9 +28,10 @@ import numpy as np
 _HIGHEST = jax.lax.Precision.HIGHEST
 # Trace-time matmul precision for every DFT stage in this module.
 # HIGHEST (true f32, ~3-6 bf16 MXU passes) is the default contract;
-# matmul_precision("default") lets opt-in callers (RL deconvolution's
-# fast_precision) trade ~6e-4 relative error for single-pass bf16
-# throughput. The value is read when a caller is TRACED, so callers
+# matmul_precision("high") (3-pass bf16) is what RL deconvolution's
+# fast_precision uses — single-pass "default" compounded to ~5e-2 max
+# rel error through 20 RL iterations (BENCH r4 A/B), past the 1e-3
+# accuracy gate; "high" keeps the gate with most of the speed. The value is read when a caller is TRACED, so callers
 # that expose the choice MUST split their jit cache on it (a static
 # arg — see analysis/deconvolution._rl_kernel); thread-local storage
 # keeps a trace on another thread (prefetch workers etc.) at the
@@ -47,10 +48,13 @@ class matmul_precision:
     traced inside. Accepts exactly "highest" or "default"."""
 
     def __init__(self, p: str):
-        if p not in ("highest", "default"):
+        if p not in ("highest", "high", "default"):
             raise ValueError(
-                f"matmul_precision: {p!r} (want 'highest' or 'default')")
-        self._p = _HIGHEST if p == "highest" else jax.lax.Precision.DEFAULT
+                f"matmul_precision: {p!r} "
+                "(want 'highest', 'high' or 'default')")
+        self._p = {"highest": _HIGHEST,
+                   "high": jax.lax.Precision.HIGH,
+                   "default": jax.lax.Precision.DEFAULT}[p]
 
     def __enter__(self):
         self._old = _prec()

@@ -21,7 +21,7 @@ f32 rounding; parity is pinned by tests/test_parallel.py.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -143,8 +143,20 @@ def sharded_deconvolve(mesh: Mesh, image: jax.Array, psf,
     lam = jnp.float32(config.regularization)
     thr = jnp.float32(config.dering_threshold)
     img_sh = jax.device_put(img, NamedSharding(mesh, P(axis_name, None)))
+    run = _deconvolve_jit(mesh, axis_name, rows, cols, fft_rows, fft_cols,
+                          config.iterations, config.dering)
+    est, iters, conv = run(img_sh, kr, ki, lam, thr)
+    return est, int(iters), float(conv)
 
-    @partial(jax.jit, static_argnames=())
+
+@lru_cache(maxsize=None)
+def _deconvolve_jit(mesh: Mesh, axis_name: str, rows: int, cols: int,
+                    fft_rows: int, fft_cols: int, iterations: int,
+                    dering: bool):
+    """Cached per (mesh, axis, shape, iters): the per-call jit closure
+    re-compiled the whole sharded RL program on every call."""
+
+    @jax.jit
     def run(img, kr, ki, lam, thr):
         pad = jnp.pad(img, ((0, fft_rows - rows), (0, fft_cols - cols)))
 
@@ -170,13 +182,13 @@ def sharded_deconvolve(mesh: Mesh, image: jax.Array, psf,
             iters_run = jnp.int32(0)
             convergence = jnp.float32(np.finfo(np.float32).max)
             # the padded region is zero and stays zero through RL
-            for it in range(config.iterations):
+            for it in range(iterations):
                 convolved = convolve(estimate, conj=False)
                 ratio = lim / (convolved + EPSILON)
                 correction = convolve(ratio, conj=True)
                 new_est = jnp.maximum(estimate * correction * inv_reg,
                                       0.0)
-                if config.dering:
+                if dering:
                     upper = lim * (1.0 + thr)
                     lower = jnp.maximum(lim * (1.0 - thr), 0.0)
                     new_est = jnp.clip(new_est, lower, upper)
@@ -202,8 +214,7 @@ def sharded_deconvolve(mesh: Mesh, image: jax.Array, psf,
             check_vma=False)(pad, kr, ki, lam, thr)
         return est[:rows, :cols], it, conv
 
-    est, iters, conv = run(img_sh, kr, ki, lam, thr)
-    return est, int(iters), float(conv)
+    return run
 
 
 def sharded_power_spectrum(mesh: Mesh, data: jax.Array,
@@ -226,7 +237,13 @@ def sharded_power_spectrum(mesh: Mesh, data: jax.Array,
         vals = vals * wy[:, None] * wx[None, :]
     buf = jnp.pad(vals, ((0, size - rows), (0, size - cols)))
     buf = jax.device_put(buf, NamedSharding(mesh, P(axis_name, None)))
+    return _power_spectrum_jit(mesh, axis_name)(buf)
 
+
+@lru_cache(maxsize=None)
+def _power_spectrum_jit(mesh: Mesh, axis_name: str):
+    """Cached per (mesh, axis): the per-call jit closure re-compiled
+    the whole sharded FFT on every power-spectrum call."""
     @jax.jit
     def run(b):
         def local(lb):
@@ -243,4 +260,4 @@ def sharded_power_spectrum(mesh: Mesh, data: jax.Array,
         return jax.lax.with_sharding_constraint(
             shifted, NamedSharding(mesh, P(axis_name, None)))
 
-    return run(buf)
+    return run

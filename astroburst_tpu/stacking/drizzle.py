@@ -276,7 +276,7 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
                 cand_v = jnp.pad(cand_v, ((0, 0), (0, 0), (0, pad)))
                 wxs = jnp.pad(wxs, ((0, 0), (0, pad)))  # w=0 → absent
             img, wgt, rej = drizzle_finalize_fused(
-                cand_v, wys, wxs, n, taps, taps, cap, sigma_low,
+                cand_v, wys.T, wxs, n, taps, taps, cap, sigma_low,
                 sigma_high, sigma_iterations, interpret=interpret,
                 block_w=block_w)
             return (img[:, :out_cols], wgt[:, :out_cols],

@@ -207,7 +207,11 @@ def _make_finalize_fused_kernel(n: int, taps_y: int, taps_x: int, cap: int,
         k = 0
         for f in range(n):
             for ty in range(taps_y):
-                wy = wy_ref[f * taps_y + ty]          # [bh]
+                # wy_ref is TRANSPOSED [bh, n·taps_y]: its block's minor
+                # dim equals the full array dim, which the Mosaic block
+                # constraint allows (a [n·taps_y, bh] layout would need
+                # a 128-divisible minor)
+                wy = wy_ref[:, f * taps_y + ty]       # [bh]
                 for tx in range(taps_x):
                     wx = wx_ref[f * taps_x + tx]      # [bw]
                     vk = v_ref[k]
@@ -285,7 +289,7 @@ def _make_finalize_fused_kernel(n: int, taps_y: int, taps_x: int, cap: int,
          static_argnames=("n", "taps_y", "taps_x", "cap", "sigma_low",
                           "sigma_high", "iterations", "interpret",
                           "block_h", "block_w"))
-def drizzle_finalize_fused(cand_v_raw, wys, wxs, n: int, taps_y: int,
+def drizzle_finalize_fused(cand_v_raw, wys_t, wxs, n: int, taps_y: int,
                            taps_x: int, cap: int, sigma_low: float,
                            sigma_high: float, iterations: int,
                            interpret: bool = False,
@@ -293,9 +297,10 @@ def drizzle_finalize_fused(cand_v_raw, wys, wxs, n: int, taps_y: int,
                            block_w: int = BLOCK_W):
     """Finalize [n·taps_y·taps_x, H, W] RAW gathered values (NaN/inf
     preserved — finiteness is tested in-kernel) with per-axis weight
-    matrices wys [n·taps_y, H], wxs [n·taps_x, W] → (image, weight_map,
-    rejected_map). Half the HBM traffic of drizzle_finalize_pallas
-    (no [m, H, W] weight tensor exists anywhere)."""
+    matrices wys_t [H, n·taps_y] (transposed — see the kernel comment),
+    wxs [n·taps_x, W] → (image, weight_map, rejected_map). Half the
+    HBM traffic of drizzle_finalize_pallas (no [m, H, W] weight tensor
+    exists anywhere)."""
     m, h, w = cand_v_raw.shape
     assert m == n * taps_y * taps_x
     if h % block_h or w % block_w:
@@ -310,7 +315,7 @@ def drizzle_finalize_fused(cand_v_raw, wys, wxs, n: int, taps_y: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, block_h, block_w), lambda i, j: (0, i, j)),
-            pl.BlockSpec((n * taps_y, block_h), lambda i, j: (0, i)),
+            pl.BlockSpec((block_h, n * taps_y), lambda i, j: (i, 0)),
             pl.BlockSpec((n * taps_x, block_w), lambda i, j: (0, j)),
         ],
         out_specs=[
@@ -324,7 +329,7 @@ def drizzle_finalize_fused(cand_v_raw, wys, wxs, n: int, taps_y: int,
             jax.ShapeDtypeStruct((h, w), jnp.int32),
         ],
         interpret=interpret,
-    )(cand_v_raw, wys, wxs)
+    )(cand_v_raw, wys_t, wxs)
     return img, wgt, rej
 
 

@@ -165,3 +165,32 @@ def test_detect_stars_dense_slab_overflow_fallback(rng):
     found = {(round(s.y), round(s.x)) for s in res.stars}
     missing = [x for x in xs if (2, x) not in found]
     assert not missing, f"lost {len(missing)} slab peaks: {missing[:5]}"
+
+
+def test_device_dedupe_matches_host_accept_set():
+    """dedupe_packed_device must reproduce _postprocess_packed's
+    brightest-first 3-px greedy accept set exactly (star_detection.rs:
+    215), including chained suppressions (A<3px from B<3px from C)."""
+    import jax.numpy as jnp
+    from astroburst_tpu.analysis.star_detection import (
+        _detect_fused, _postprocess_packed, dedupe_packed_device)
+
+    rng = np.random.default_rng(11)
+    h, w = 256, 320
+    img = rng.normal(100, 3, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # isolated stars + tight pairs/chains within 3 px
+    spots = [(40, 40, 900), (41.5, 41.5, 700), (43.0, 43.0, 800),
+             (120, 200, 1000), (121.2, 201.0, 950),
+             (200, 60, 600), (80, 280, 850), (30, 150, 500)]
+    for sy, sx, a in spots:
+        img += a * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 3.0)
+    packed = _detect_fused(jnp.asarray(img), 32, 5.0, 256)
+    host = _postprocess_packed(np.asarray(packed), 5.0, h, w)
+    accepted = np.asarray(dedupe_packed_device(packed))
+    pk = np.asarray(packed)
+    got = sorted((round(float(y), 3), round(float(x), 3))
+                 for y, x, a in zip(pk[0], pk[1], accepted) if a)
+    want = sorted((round(s.y, 3), round(s.x, 3)) for s in host.stars)
+    assert got == want
+    assert len(want) >= 5  # duplicates were actually suppressed
