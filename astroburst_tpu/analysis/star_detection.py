@@ -252,10 +252,12 @@ def _local_maxima(img, mask):
     return mask & strict
 
 
-@partial(jax.jit, static_argnames=("max_peaks", "window"))
+@partial(jax.jit, static_argnames=("max_peaks", "window", "use_pallas",
+                                   "interpret"))
 def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
                    sigma_threshold: float, max_peaks: int = MAX_PEAKS,
-                   window: int = WINDOW):
+                   window: int = WINDOW, use_pallas: bool | None = None,
+                   interpret: bool = False):
     rows, cols = image.shape
     threshold = bg_med + sigma_threshold * bg_sig
     finite = jnp.isfinite(image)
@@ -331,51 +333,74 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
     is_peak = jnp.isfinite(vals)
 
     half = window // 2
-    padded = jnp.pad(image, half, constant_values=jnp.nan)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused DMA window kernel: aligned-block fetch + in-register
+        # flood fill + moments at copy speed (the XLA gather below is
+        # a per-window tiled-layout relayout, ~13 ms of a ~16 ms
+        # detect program at K=4096 on 4096²)
+        from astroburst_tpu.analysis.window_kernel import (
+            pad_for_windows, window_stats_pallas)
+        wpad, wtop, wleft = pad_for_windows(image, window)
+        stats9 = window_stats_pallas(
+            wpad, py.astype(jnp.int32) + wtop,
+            px.astype(jnp.int32) + wleft, threshold, bg_med, window,
+            interpret=interpret)
+        npixs = stats9[:, 0].astype(jnp.int32)
+        fluxes = stats9[:, 1]
+        cy, cx = stats9[:, 2], stats9[:, 3]
+        r2m = stats9[:, 4]
+        sxx, syy, sxy = stats9[:, 5], stats9[:, 6], stats9[:, 7]
+        pvals_k = stats9[:, 8]
+        safe_flux = jnp.maximum(fluxes, 1e-30)
+    else:
+        padded = jnp.pad(image, half, constant_values=jnp.nan)
 
-    # windows with the PEAK axis LAST: the vmapped [n, 41, 41] layout
-    # padded every 41-wide op to 128 lanes (3.7× wasted VPU work and
-    # HBM traffic across the 20 dilation rounds); [41, 41, n] keeps the
-    # n=max_peaks axis lane-dense and turns the 8-neighbor shifts into
-    # sublane/tile moves.
-    wins = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-        padded, (y, x), (window, window)))(py.astype(jnp.int32),
-                                           px.astype(jnp.int32))
-    win = wins.transpose(1, 2, 0)
-    wfinite = jnp.isfinite(win)
-    wabove = wfinite & (win > threshold)
-    # bounded flood fill from the center: iterative 3×3 dilation
-    # (fori_loop keeps the HLO small — unrolling half×8 shifts made
-    # compiles minutes-long)
-    member0 = jnp.zeros((window, window, max_peaks),
-                        bool).at[half, half, :].set(True)
+        # windows with the PEAK axis LAST: the vmapped [n, 41, 41]
+        # layout padded every 41-wide op to 128 lanes (3.7× wasted VPU
+        # work and HBM traffic across the 20 dilation rounds);
+        # [41, 41, n] keeps the n=max_peaks axis lane-dense and turns
+        # the 8-neighbor shifts into sublane/tile moves.
+        wins = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            padded, (y, x), (window, window)))(py.astype(jnp.int32),
+                                               px.astype(jnp.int32))
+        win = wins.transpose(1, 2, 0)
+        wfinite = jnp.isfinite(win)
+        wabove = wfinite & (win > threshold)
+        # bounded flood fill from the center: iterative 3×3 dilation
+        # (fori_loop keeps the HLO small — unrolling half×8 shifts made
+        # compiles minutes-long)
+        member0 = jnp.zeros((window, window, max_peaks),
+                            bool).at[half, half, :].set(True)
 
-    def grow(_, member):
-        # zero-pad the two spatial axes: no wraparound connectivity
-        m = jnp.pad(member, ((1, 1), (1, 1), (0, 0)))
-        grown = member
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                if dy == 1 and dx == 1:
-                    continue
-                grown = grown | m[dy:dy + window, dx:dx + window, :]
-        return grown & wabove
+        def grow(_, member):
+            # zero-pad the two spatial axes: no wraparound connectivity
+            m = jnp.pad(member, ((1, 1), (1, 1), (0, 0)))
+            grown = member
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    if dy == 1 and dx == 1:
+                        continue
+                    grown = grown | m[dy:dy + window, dx:dx + window, :]
+            return grown & wabove
 
-    member = jax.lax.fori_loop(0, half, grow, member0)
-    v = jnp.where(member, jnp.maximum(win - bg_med, 0.0), 0.0)
-    npixs = jnp.sum(member.astype(jnp.int32), axis=(0, 1))
-    fluxes = jnp.sum(v, axis=(0, 1))
-    yy = jnp.arange(window, dtype=jnp.float32)[:, None, None]
-    xx = jnp.arange(window, dtype=jnp.float32)[None, :, None]
-    safe_flux = jnp.maximum(fluxes, 1e-30)
-    cy = jnp.sum(yy * v, axis=(0, 1)) / safe_flux
-    cx = jnp.sum(xx * v, axis=(0, 1)) / safe_flux
-    dy = yy - cy[None, None, :]
-    dx = xx - cx[None, None, :]
-    r2m = jnp.sum((dx * dx + dy * dy) * v, axis=(0, 1))
-    sxx = jnp.sum(dx * dx * v, axis=(0, 1)) / safe_flux
-    syy = jnp.sum(dy * dy * v, axis=(0, 1)) / safe_flux
-    sxy = jnp.sum(dx * dy * v, axis=(0, 1)) / safe_flux
+        member = jax.lax.fori_loop(0, half, grow, member0)
+        v = jnp.where(member, jnp.maximum(win - bg_med, 0.0), 0.0)
+        npixs = jnp.sum(member.astype(jnp.int32), axis=(0, 1))
+        fluxes = jnp.sum(v, axis=(0, 1))
+        yy = jnp.arange(window, dtype=jnp.float32)[:, None, None]
+        xx = jnp.arange(window, dtype=jnp.float32)[None, :, None]
+        safe_flux = jnp.maximum(fluxes, 1e-30)
+        cy = jnp.sum(yy * v, axis=(0, 1)) / safe_flux
+        cx = jnp.sum(xx * v, axis=(0, 1)) / safe_flux
+        dy = yy - cy[None, None, :]
+        dx = xx - cx[None, None, :]
+        r2m = jnp.sum((dx * dx + dy * dy) * v, axis=(0, 1))
+        sxx = jnp.sum(dx * dx * v, axis=(0, 1)) / safe_flux
+        syy = jnp.sum(dy * dy * v, axis=(0, 1)) / safe_flux
+        sxy = jnp.sum(dx * dy * v, axis=(0, 1)) / safe_flux
+        pvals_k = jnp.max(v, axis=(0, 1))
     sigma_star = jnp.sqrt(r2m / (2.0 * safe_flux))
     fwhms = sigma_star * FWHM_FACTOR
     trace = sxx + syy
@@ -386,7 +411,7 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
     eccs = jnp.where(l1 > 1e-15,
                      jnp.clip(jnp.sqrt(jnp.maximum(1.0 - l2 / l1, 0.0)),
                               0.0, 1.0), 0.0)
-    pvals = jnp.max(v, axis=(0, 1))
+    pvals = pvals_k
     cys = cy + (py.astype(jnp.float32) - half)
     cxs = cx + (px.astype(jnp.float32) - half)
     snrs = jnp.where(bg_sig <= 1e-300, 0.0, pvals / bg_sig)
@@ -405,13 +430,18 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
                       snrs, valid.astype(jnp.float32), bg_row])
 
 
-@partial(jax.jit, static_argnames=("tile_size", "max_peaks"))
-def _detect_fused(img, tile_size, sigma_threshold, max_peaks):
+@partial(jax.jit, static_argnames=("tile_size", "max_peaks", "use_pallas",
+                                   "interpret"))
+def _detect_fused(img, tile_size, sigma_threshold, max_peaks,
+                  use_pallas: bool | None = None,
+                  interpret: bool = False):
     """Background estimation + detection in ONE dispatch (each axon
     dispatch costs ~3 ms; the intermediate bg scalars never visit the
     host)."""
-    bg_med, bg_sig = _estimate_background_kernel(img, tile_size)
-    return _detect_kernel(img, bg_med, bg_sig, sigma_threshold, max_peaks)
+    bg_med, bg_sig = _estimate_background_kernel(
+        img, tile_size, use_pallas=use_pallas, interpret=interpret)
+    return _detect_kernel(img, bg_med, bg_sig, sigma_threshold, max_peaks,
+                          use_pallas=use_pallas, interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=("tile_size", "max_peaks"))

@@ -194,3 +194,35 @@ def test_device_dedupe_matches_host_accept_set():
     want = sorted((round(s.y, 3), round(s.x, 3)) for s in host.stars)
     assert got == want
     assert len(want) >= 5  # duplicates were actually suppressed
+
+
+def test_window_kernel_matches_xla_path():
+    """The fused DMA window kernel (interpret mode — exact Mosaic
+    semantics on CPU) must reproduce the XLA gather+flood+moment path:
+    identical accept set, centroids/flux/fwhm to f32 rounding. Ecc is
+    compared absolutely — sqrt(1 − l2/l1) near-circular stars amplify
+    f32 reduction-order noise unboundedly in relative terms."""
+    import jax.numpy as jnp
+    from astroburst_tpu.analysis.star_detection import _detect_fused
+
+    rng = np.random.default_rng(5)
+    h, w = 512, 640
+    img = rng.normal(100, 3, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(60):
+        sy, sx = rng.uniform(10, h - 10), rng.uniform(10, w - 10)
+        a = rng.uniform(200, 2000)
+        img += a * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 3.5)
+    img[100:110, 200:210] = np.nan  # dead region crossing windows
+
+    x = jnp.asarray(img)
+    ref = np.asarray(_detect_fused(x, 64, 5.0, 256, use_pallas=False))
+    got = np.asarray(_detect_fused(x, 64, 5.0, 256, use_pallas=True,
+                                   interpret=True))
+    assert (got[8] == ref[8]).all()          # identical valid set
+    assert int(ref[8].sum()) >= 50
+    v = ref[8] > 0.5
+    for i in (0, 1, 2, 3, 5, 6, 7):          # cy cx flux fwhm pval npix snr
+        rel = np.abs(got[i] - ref[i]) / np.maximum(np.abs(ref[i]), 1e-6)
+        assert np.max(np.where(v, rel, 0)) < 1e-4, f"row {i}"
+    assert np.max(np.where(v, np.abs(got[4] - ref[4]), 0)) < 0.01  # ecc
