@@ -153,6 +153,21 @@ def _apply_divide(image, model, model_median):
                      image)
 
 
+@partial(jax.jit, static_argnames=("divide",))
+def _finish_kernel(image, model, divide: bool):
+    """Model median + correction as ONE program. Running these eagerly
+    (the r3 code path) issued every op of the compare-count median as
+    its own un-fused dispatch — ~2 s of the 4096² row's wall was this
+    section's serialized eager dispatches through the tunnel."""
+    mflat = model.reshape(-1)
+    mvalid = jnp.isfinite(mflat) & (mflat > 0.0)
+    mcnt = jnp.sum(mvalid.astype(jnp.int32))
+    model_median = _median_pair(jnp.where(mvalid, mflat, jnp.inf), mcnt)
+    if divide:
+        return _apply_divide(image, model, model_median)
+    return _apply_subtract(image, model, model_median)
+
+
 def extract_background(image, config: BackgroundConfig = BackgroundConfig(),
                        progress: Optional[ProgressHandle] = None
                        ) -> BackgroundResult:
@@ -235,14 +250,7 @@ def extract_background(image, config: BackgroundConfig = BackgroundConfig(),
 
     if progress is not None:
         progress.tick_with_stage("applying correction")
-    mflat = model.reshape(-1)
-    mvalid = jnp.isfinite(mflat) & (mflat > 0.0)
-    mcnt = jnp.sum(mvalid.astype(jnp.int32))
-    model_median = _median_pair(jnp.where(mvalid, mflat, jnp.inf), mcnt)
-    if config.mode == "divide":
-        corrected = _apply_divide(img, model, model_median)
-    else:
-        corrected = _apply_subtract(img, model, model_median)
+    corrected = _finish_kernel(img, model, config.mode == "divide")
 
     pred = basis @ coeffs
     rms = float(np.sqrt(np.mean((s[:, 2] - pred) ** 2)))
