@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from astroburst_tpu.ops import fft as F
 from astroburst_tpu.ops.window import hann_periodic

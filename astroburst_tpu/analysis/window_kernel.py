@@ -119,7 +119,7 @@ def _make_kernel(n_peaks: int, window: int, half: int):
             wabove = jnp.where(in_win & finite & (win > threshold),
                                1.0, 0.0).astype(jnp.float32)
 
-            def grow(_, member):
+            def grow(member):
                 # separable 3×3 box dilation: max over rows, then
                 # cols. Wrapped-in values are always 0 (outside-window
                 # rows/cols have wabove == 0 every round).
@@ -130,7 +130,24 @@ def _make_kernel(n_peaks: int, window: int, half: int):
                 rt = pltpu.roll(md, 1, 1)
                 return jnp.maximum(md, jnp.maximum(lf, rt)) * wabove
 
-            member = jax.lax.fori_loop(0, half, grow, member0)
+            # while_loop with fixed-point exit: membership grows
+            # monotonically, so an unchanged count == converged and
+            # further rounds are identity — typical stars fill in ~4-6
+            # rounds, not the worst-case `half` the fori form always
+            # paid (the fill is the kernel's VPU hot loop)
+            def fill_cond(c):
+                rnd, n_now, n_prev, _ = c
+                return (rnd < half) & (n_now != n_prev)
+
+            def fill_body(c):
+                rnd, n_now, _, member = c
+                member = grow(member)
+                return (rnd + 1, jnp.sum(member), n_now, member)
+
+            _, _, _, member = jax.lax.while_loop(
+                fill_cond, fill_body,
+                (jnp.int32(0), jnp.float32(1.0), jnp.float32(-1.0),
+                 member0))
 
             v = member * jnp.maximum(
                 jnp.where(finite, win, 0.0) - bg_med, 0.0)

@@ -68,10 +68,24 @@ def _soft_disk(px, py, x, y, radius, softness):
     return jnp.where(radius > 0.0, val, 0.0)
 
 
-@partial(jax.jit, static_argnames=("luminance_protect",))
+@partial(jax.jit, static_argnames=("luminance_protect", "use_pallas",
+                                   "interpret"))
 def _mask_kernel(image, xs, ys, radii, softness, luminance_ceiling,
-                 luminance_protect: bool):
+                 luminance_protect: bool, use_pallas: bool | None = None,
+                 interpret: bool = False):
     h, w = image.shape
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # parallel Pallas raster: the lax.map below is a sequential
+        # while loop over ~1.1k tiles (~65 µs latency each — 74 ms
+        # measured at 4096²/3000 stars for ~1e8 element-ops of math)
+        from astroburst_tpu.imaging.star_mask_kernel import (
+            paint_mask_pallas)
+        mask = paint_mask_pallas(xs, ys, radii, softness, h, w,
+                                 interpret=interpret)
+        return _mask_finish(image, mask, luminance_ceiling,
+                            luminance_protect, h, w)
     half = WINDOW // 2
     # padded plane (origin at image coord -half) rounded up to tiles
     hp = -(-(h + WINDOW) // TILE) * TILE
@@ -129,7 +143,12 @@ def _mask_kernel(image, xs, ys, radii, softness, luminance_ceiling,
     tiles = jax.lax.map(paint_tile, t_idx)
     mask = tiles.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
     mask = mask.reshape(hp, wp)[half:half + h, half:half + w]
+    return _mask_finish(image, mask, luminance_ceiling,
+                        luminance_protect, h, w)
 
+
+def _mask_finish(image, mask, luminance_ceiling, luminance_protect: bool,
+                 h: int, w: int):
     if luminance_protect:
         ceiling = luminance_ceiling
         inv_range = jnp.where(ceiling < 1.0, 1.0 / (1.0 - ceiling), 1.0)

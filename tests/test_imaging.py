@@ -318,3 +318,29 @@ def test_masked_stretch_early_stop_counts_iterations():
     # a converged/stagnated run stops before the cap
     if res.converged:
         assert res.iterations_run < 25
+
+
+def test_star_mask_pallas_raster_matches_xla():
+    """The Pallas paint raster (interpret mode — exact Mosaic
+    semantics) must be bit-identical to the XLA tile raster, including
+    off-plane stars, zero-radius slots and the luminance branch."""
+    import jax.numpy as jnp
+    from astroburst_tpu.imaging.star_mask import _mask_kernel
+
+    rng = np.random.default_rng(9)
+    h, w = 500, 700
+    img = jnp.asarray(rng.normal(0.3, 0.05, (h, w)).astype(np.float32))
+    k = 300
+    xs = jnp.asarray(rng.uniform(-5, w + 5, k).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-5, h + 5, k).astype(np.float32))
+    radii = jnp.asarray(np.where(rng.random(k) < 0.1, 0.0,
+                                 rng.uniform(1, 40, k)).astype(np.float32))
+    for lum in (False, True):
+        m_ref, c_ref = _mask_kernel(img, xs, ys, radii, jnp.float32(4.0),
+                                    jnp.float32(0.85), lum,
+                                    use_pallas=False)
+        m_got, c_got = _mask_kernel(img, xs, ys, radii, jnp.float32(4.0),
+                                    jnp.float32(0.85), lum,
+                                    use_pallas=True, interpret=True)
+        assert float(jnp.max(jnp.abs(m_got - m_ref))) == 0.0
+        assert float(c_got) == float(c_ref)

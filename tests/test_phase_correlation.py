@@ -191,3 +191,30 @@ def test_gather_crops_rejects_unaligned_size():
     with pytest.raises(ValueError, match="aligned"):
         gather_crops(stack, jnp.zeros(2, jnp.int32),
                      jnp.zeros(2, jnp.int32), 60, 128, interpret=True)
+
+
+def test_coarse_row_subsampling_path_recovers_offsets():
+    """Planes whose coarse box spans >=4 rows take the subsampled-row
+    coarse path (stride-4 index-vector take); the refine must still
+    recover known integer offsets exactly. Pins the stride branch —
+    small test planes never exercise it (r4: an import error hid
+    there)."""
+    import jax.numpy as jnp
+    from astroburst_tpu.alignment.phase_correlation import (
+        _phase_correlate_stack_impl)
+
+    rng = np.random.default_rng(8)
+    h, w = 2560, 640  # by = ceil(2560/512) = 5 -> stride path
+    base = rng.normal(100, 4, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(40):
+        sy, sx = rng.uniform(30, h - 30), rng.uniform(30, w - 30)
+        base += rng.uniform(300, 1500) * np.exp(
+            -((yy - sy) ** 2 + (xx - sx) ** 2) / 4.0)
+    shifts = [(3, -2), (-5, 4), (0, 0)]
+    tgts = np.stack([np.roll(base, s, (0, 1)) for s in shifts])
+    dys, dxs, confs = _phase_correlate_stack_impl(
+        jnp.asarray(base), jnp.asarray(tgts), "slice")
+    for i, (sy, sx) in enumerate(shifts):
+        assert abs(float(dys[i]) - sy) < 0.35, (i, float(dys[i]), sy)
+        assert abs(float(dxs[i]) - sx) < 0.35, (i, float(dxs[i]), sx)
