@@ -179,18 +179,6 @@ def _box_matrix(ds: int, box: int, n: int):
     return hit.astype(jnp.float32) * (1.0 / box)
 
 
-def _subsampled_box_matrix(ds: int, box: int, kept: jax.Array,
-                           n_kept: int):
-    """[ds, n_kept] matrix averaging, per output cell i, the kept
-    source rows that fall in [i·box, (i+1)·box). ``kept`` is the int32
-    vector of retained source indices (host-static stride pattern)."""
-    i = jnp.arange(ds, dtype=jnp.int32)[:, None]
-    cell = kept[None, :] // box
-    hit = (cell == i).astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(hit, axis=1, keepdims=True), 1.0)
-    return hit / cnt
-
-
 def _coarse_box_downsample(img, max_dim: int):
     """Integer box-mean downsample for the coarse pass.
 
@@ -210,17 +198,12 @@ def _coarse_box_downsample(img, max_dim: int):
     the plane once in its native layout; a single einsum picks an
     order that relayouts the full plane.
 
-    Row subsampling: when a box spans ≥4 source rows, only every
-    ROW_SUBSAMPLE-th row feeds the mean. A dense matmul reads every
-    operand byte regardless of zero weights, so the subsampling is an
-    index-VECTOR row take FIRST (whole-row gathers read only the
-    selected rows — CLAUDE.md perf facts), then the box matmuls run on
-    the quarter-height plane: the dominant full-stack read of the
-    align stage drops ~4×. The coarse estimate remains a 2-3-sample
-    box mean — statistically equivalent for seeding a ±256 px refine
-    window (the refine result is exact for any seed whose true offset
-    lies inside the crop; accuracy is pinned by the known-offset
-    alignment tests)."""
+    MEASURED DEAD END (r4, rhyming with the r2 stride-take note):
+    row-subsampling via a stride-4 index-vector take before the
+    matmuls is SLOWER (10.2 vs 8.8 ms at 15×12.5 Mpx) — strided row
+    gathers relayout across sublane tiles; only near-contiguous takes
+    are fast, and a dense matmul reads every operand byte so zero
+    weights save nothing. The full-stack read is this pass's floor."""
     rows, cols = img.shape[-2], img.shape[-1]
     by = -(-rows // max_dim)
     bx = -(-cols // max_dim)
@@ -231,14 +214,7 @@ def _coarse_box_downsample(img, max_dim: int):
     # cast pass over the full stack never materializes (profiled
     # 8.4 → 4.6 ms for the 15-frame coarse stage; the coarse surface
     # only seeds the refine crop, so bf16 products are plenty)
-    stride = 4 if by >= 4 else 1
-    if stride > 1:
-        kept_h = np.arange(0, ds_r * by, stride, dtype=np.int32)
-        img = jnp.take(img, jnp.asarray(kept_h), axis=img.ndim - 2)
-        mr = _subsampled_box_matrix(ds_r, by, jnp.asarray(kept_h),
-                                    len(kept_h))
-    else:
-        mr = _box_matrix(ds_r, by, rows)
+    mr = _box_matrix(ds_r, by, rows)
     mc = _box_matrix(ds_c, bx, cols)
     tmp = jax.lax.dot_general(img, mc.T, (((img.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,

@@ -325,13 +325,17 @@ def pad_stack_aligned(stack: jax.Array, block_h: int = BLOCK_H,
     return jnp.pad(stack, ((0, 0), (0, hp - h), (0, wp - w)))
 
 
+ADAPTIVE_OFF = 6  # small-envelope variant bound (see shift_clip_onepass)
+
+
 def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
                        sigma_low: float = 3.0, sigma_high: float = 3.0,
                        max_iter: int = 5, off_max: int = OFF_MAX,
                        true_shape: tuple | None = None,
                        interpret: bool = False, block_h: int = BLOCK_H,
                        block_w: int = BLOCK_W,
-                       zero_frames: tuple | None = None):
+                       zero_frames: tuple | None = None,
+                       adaptive: bool = True):
     """Shift each frame by (dys[k], dxs[k]) bicubically, then sigma-clip
     combine, in ONE pass over the stack. Returns (combined [h, w],
     rejected scalar i32).
@@ -340,6 +344,16 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
     ``stack`` as already padded by :func:`pad_stack_aligned`; otherwise
     the stack is padded here (one extra XLA copy — pre-pad at ingest
     to avoid it).
+
+    ``adaptive``: the shared DMA window must cover every frame's shift
+    span, so its area (the kernel's HBM amplification — 3.5× at
+    off_max=16) scales with the STATIC envelope, not the actual
+    offsets. When every |offset| ≤ ADAPTIVE_OFF a ``lax.cond`` takes a
+    second compiled variant whose window is sized for that envelope
+    (amplification 2.75×) — exact in both branches (the clamp is
+    inactive on the small branch by construction). Typical guided
+    dithers are 1-5 px; production callers with larger dithers pay the
+    wide window only when their data actually needs it.
     """
     if true_shape is not None:
         h, w = true_shape
@@ -352,10 +366,24 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
         block_h //= 2
     while block_w > 128 and window_dims(block_h, block_w, off_max)[1] > wp:
         block_w //= 2
-    return _shift_clip_onepass_padded(stack, dys, dxs, h, w, sigma_low,
-                                      sigma_high, max_iter, off_max,
-                                      interpret, block_h, block_w,
-                                      zero_frames=zero_frames)
+    dys = jnp.asarray(dys, jnp.float32)
+    dxs = jnp.asarray(dxs, jnp.float32)
+    run = partial(_shift_clip_onepass_padded, h=h, w=w,
+                  sigma_low=sigma_low, sigma_high=sigma_high,
+                  max_iter=max_iter, interpret=interpret,
+                  block_h=block_h, block_w=block_w,
+                  zero_frames=zero_frames)
+    if (adaptive and off_max > ADAPTIVE_OFF
+            and window_dims(block_h, block_w, ADAPTIVE_OFF)[0] <= hp
+            and window_dims(block_h, block_w, ADAPTIVE_OFF)[1] <= wp):
+        small = (jnp.max(jnp.maximum(jnp.abs(dys), jnp.abs(dxs)))
+                 <= float(ADAPTIVE_OFF))
+        return jax.lax.cond(
+            small,
+            lambda s, a, b: run(s, a, b, off_max=ADAPTIVE_OFF),
+            lambda s, a, b: run(s, a, b, off_max=off_max),
+            stack, dys, dxs)
+    return run(stack, dys, dxs, off_max=off_max)
 
 
 def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,

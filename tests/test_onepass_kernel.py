@@ -230,3 +230,23 @@ def test_runtime_zero_offset_parity_with_static_zero_frames(rng):
     want, _ = sigma_clip_core(stack, 3.0, 3.0, 3)
     np.testing.assert_allclose(np.asarray(got_static), np.asarray(want),
                                atol=2e-4)
+
+
+def test_adaptive_envelope_branches_match():
+    """The small-envelope (off_max=6) cond branch must be bit-exact
+    with the wide variant for offsets inside it, and offsets outside
+    it must take the wide branch (results match adaptive=False)."""
+    import jax.numpy as jnp
+    from astroburst_tpu.stacking.onepass_kernel import shift_clip_onepass
+
+    rng = np.random.default_rng(4)
+    stack = jnp.asarray(rng.normal(100, 8, (5, 96, 300)).astype(np.float32))
+    for amp in (4.0, 11.0):  # inside / outside ADAPTIVE_OFF
+        dys = jnp.asarray(rng.uniform(-amp, amp, 5), jnp.float32)
+        dxs = jnp.asarray(rng.uniform(-amp, amp, 5), jnp.float32)
+        ca, ra = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 2,
+                                    interpret=True, adaptive=True)
+        cf, rf = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 2,
+                                    interpret=True, adaptive=False)
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cf))
+        assert int(ra) == int(rf)

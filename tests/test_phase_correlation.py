@@ -193,12 +193,11 @@ def test_gather_crops_rejects_unaligned_size():
                      jnp.zeros(2, jnp.int32), 60, 128, interpret=True)
 
 
-def test_coarse_row_subsampling_path_recovers_offsets():
-    """Planes whose coarse box spans >=4 rows take the subsampled-row
-    coarse path (stride-4 index-vector take); the refine must still
-    recover known integer offsets exactly. Pins the stride branch —
-    small test planes never exercise it (r4: an import error hid
-    there)."""
+def test_coarse_large_box_plane_recovers_offsets():
+    """Tall planes (coarse box spanning >=5 rows) must still recover
+    known integer offsets through coarse→refine. Regression guard for
+    the coarse path at shapes the small unit planes never hit (an r4
+    experiment hid an import error exactly here)."""
     import jax.numpy as jnp
     from astroburst_tpu.alignment.phase_correlation import (
         _phase_correlate_stack_impl)
