@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 _FETCH_ROWS = 48
 _FETCH_COLS = 256
 _KEEP_COLS = 128
-_BLOCK = 8  # peaks per grid program (one output sublane block)
+_BLOCK = 16  # peaks per grid program (fewer program boundaries)
 
 
 def _make_kernel(n_peaks: int, window: int, half: int):

@@ -325,7 +325,42 @@ def pad_stack_aligned(stack: jax.Array, block_h: int = BLOCK_H,
     return jnp.pad(stack, ((0, 0), (0, hp - h), (0, wp - w)))
 
 
-ADAPTIVE_OFF = 6  # small-envelope variant bound (see shift_clip_onepass)
+# Small-envelope variant bound (see shift_clip_onepass). Keep at 6:
+# a 10-px envelope variant measured ~6 s/call at 10×4096² (260× the
+# 6-px variant; same F_c, nearly the same F_r — Mosaic pathology, not
+# traffic) in round 4. Don't raise without re-measuring that shape.
+ADAPTIVE_OFF = 6
+
+
+@partial(jax.jit,
+         static_argnames=("h", "w", "sigma_low", "sigma_high", "max_iter",
+                          "off_max", "interpret", "block_h", "block_w",
+                          "zero_frames", "adaptive_ok"))
+def _onepass_dispatch(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
+                      h: int, w: int, sigma_low: float, sigma_high: float,
+                      max_iter: int, off_max: int, interpret: bool,
+                      block_h: int, block_w: int,
+                      zero_frames: tuple | None, adaptive_ok: bool):
+    """Module-level jit around the adaptive ``lax.cond`` dispatch.
+
+    MUST stay a cached top-level jit: an eager caller that rebuilt
+    this cond per call re-traced a fresh program each time, and the
+    remote-compile hop turned a 17 ms stack into ~10.5 s/call
+    (round-4 bench regression). Under an outer jit it inlines."""
+    run = partial(_shift_clip_onepass_padded, h=h, w=w,
+                  sigma_low=sigma_low, sigma_high=sigma_high,
+                  max_iter=max_iter, interpret=interpret,
+                  block_h=block_h, block_w=block_w,
+                  zero_frames=zero_frames)
+    if adaptive_ok:
+        small = (jnp.max(jnp.maximum(jnp.abs(dys), jnp.abs(dxs)))
+                 <= float(ADAPTIVE_OFF))
+        return jax.lax.cond(
+            small,
+            lambda s, a, b: run(s, a, b, off_max=ADAPTIVE_OFF),
+            lambda s, a, b: run(s, a, b, off_max=off_max),
+            stack, dys, dxs)
+    return run(stack, dys, dxs, off_max=off_max)
 
 
 def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
@@ -368,22 +403,13 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
         block_w //= 2
     dys = jnp.asarray(dys, jnp.float32)
     dxs = jnp.asarray(dxs, jnp.float32)
-    run = partial(_shift_clip_onepass_padded, h=h, w=w,
-                  sigma_low=sigma_low, sigma_high=sigma_high,
-                  max_iter=max_iter, interpret=interpret,
-                  block_h=block_h, block_w=block_w,
-                  zero_frames=zero_frames)
-    if (adaptive and off_max > ADAPTIVE_OFF
-            and window_dims(block_h, block_w, ADAPTIVE_OFF)[0] <= hp
-            and window_dims(block_h, block_w, ADAPTIVE_OFF)[1] <= wp):
-        small = (jnp.max(jnp.maximum(jnp.abs(dys), jnp.abs(dxs)))
-                 <= float(ADAPTIVE_OFF))
-        return jax.lax.cond(
-            small,
-            lambda s, a, b: run(s, a, b, off_max=ADAPTIVE_OFF),
-            lambda s, a, b: run(s, a, b, off_max=off_max),
-            stack, dys, dxs)
-    return run(stack, dys, dxs, off_max=off_max)
+    adaptive_ok = bool(
+        adaptive and off_max > ADAPTIVE_OFF
+        and window_dims(block_h, block_w, ADAPTIVE_OFF)[0] <= hp
+        and window_dims(block_h, block_w, ADAPTIVE_OFF)[1] <= wp)
+    return _onepass_dispatch(stack, dys, dxs, h, w, sigma_low, sigma_high,
+                             max_iter, off_max, interpret, block_h,
+                             block_w, zero_frames, adaptive_ok)
 
 
 def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,

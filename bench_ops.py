@@ -491,8 +491,13 @@ def bench_single_fits():
 
 def bench_sigma_clip_stack():
     """Sigma-clip stack, 10×64 MB, 5 iterations (ref 2.1 s, tex:613) —
-    the one-pass Pallas shift+clip with the reference's zero-offset
-    raw path (stacking without alignment shifts)."""
+    the one-pass Pallas kernel on the reference's zero-offset raw path
+    (stacking without alignment shifts → static ``zero_frames`` for
+    every frame, exactly what parallel/pipeline.py compiles for
+    ``align=False``). Jitted wrapper with the eps salt on the OUTPUT:
+    the eager form rebuilt the adaptive lax.cond per call and the
+    remote-compile hop measured 5.9 s/call (r4 regression); adding eps
+    to the stack also copied 640 MB inside the measured region."""
     jax, jnp = _jx()
     from astroburst_tpu.stacking.onepass_kernel import (
         pad_stack_aligned, shift_clip_onepass)
@@ -504,13 +509,14 @@ def bench_sigma_clip_stack():
     stack.block_until_ready()
     zeros = jnp.zeros(10, jnp.float32)
 
-    def call(i):
-        c, r = shift_clip_onepass(stack + _eps(i), zeros,
-                                  zeros, 3.0, 3.0, 5,
-                                  true_shape=(4096, 4096))
-        return c[0, 0] + c[-1, -1] + r.astype(jnp.float32)
+    @jax.jit
+    def run(s, eps):
+        c, r = shift_clip_onepass(s, zeros, zeros, 3.0, 3.0, 5,
+                                  true_shape=(4096, 4096),
+                                  zero_frames=tuple(range(10)))
+        return c[0, 0] + c[-1, -1] + r.astype(jnp.float32) + eps
 
-    return _device_time_ms(call, K=4)
+    return _device_time_ms(lambda i: run(stack, _eps(i)), K=4)
 
 
 def bench_fits_rgb_export():
