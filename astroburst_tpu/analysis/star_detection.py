@@ -343,10 +343,13 @@ def _detect_kernel(image: jax.Array, bg_med: jax.Array, bg_sig: jax.Array,
         from astroburst_tpu.analysis.window_kernel import (
             pad_for_windows, window_stats_pallas)
         wpad, wtop, wleft = pad_for_windows(image, window)
+        # top_k orders finite candidates first: is_peak is a prefix,
+        # so its count lets the kernel skip dead slots outright
         stats9 = window_stats_pallas(
             wpad, py.astype(jnp.int32) + wtop,
             px.astype(jnp.int32) + wleft, threshold, bg_med, window,
-            interpret=interpret)
+            interpret=interpret,
+            n_valid=jnp.sum(is_peak.astype(jnp.int32)))
         npixs = stats9[:, 0].astype(jnp.int32)
         fluxes = stats9[:, 1]
         cy, cx = stats9[:, 2], stats9[:, 3]

@@ -55,12 +55,18 @@ _FETCH_ROWS = 48
 _FETCH_COLS = 256
 _KEEP_COLS = 128
 _BLOCK = 16  # peaks per grid program (fewer program boundaries)
+_NSLOT = 4   # DMA ring depth: issue 3 ahead of the wait
 
 
 def _make_kernel(n_peaks: int, window: int, half: int):
-    def kernel(py_ref, px_ref, params_ref, plane_hbm, out_ref,
+    def kernel(py_ref, px_ref, nv_ref, params_ref, plane_hbm, out_ref,
                scratch, sem):
         i = pl.program_id(0)
+        # live-peak prefix: top_k orders finite candidates first, so
+        # slots >= nv are -inf/padding — skip their DMA + fill wholesale
+        # (a 4096-slot program with ~3000 real peaks wasted ~1.1k
+        # issue/wait/fill rounds ≈ 3 ms)
+        nv = jnp.minimum(nv_ref[0], n_peaks)
 
         def origin(g):
             # padded-plane coords of the aligned fetch origin; the
@@ -94,17 +100,21 @@ def _make_kernel(n_peaks: int, window: int, half: int):
 
         @pl.when(i == 0)
         def _():
-            dma(0, 0).start()
+            # prime the ring: peaks 0.._NSLOT-1 (the loop issues g+_NSLOT
+            # at the END of iteration g, after the slot is free)
+            for d in range(_NSLOT):
+                @pl.when(jnp.int32(d) < nv)
+                def _(d=d):
+                    dma(d, d).start()
 
         for j in range(_BLOCK):
             g = i * _BLOCK + j
-            slot = jax.lax.rem(g, 2)
+            slot = jax.lax.rem(g, _NSLOT)
+            live = g < nv
 
-            @pl.when(g + 1 < n_peaks)
+            @pl.when(live)
             def _():
-                dma(1 - slot, g + 1).start()
-
-            dma(slot, g).wait()
+                dma(slot, g).wait()
 
             y0, x0 = origin(g)
             ry = py_ref[g] - half - y0          # 0..7
@@ -116,7 +126,11 @@ def _make_kernel(n_peaks: int, window: int, half: int):
             win = block[:, :_KEEP_COLS]
 
             finite = jnp.isfinite(win)
-            wabove = jnp.where(in_win & finite & (win > threshold),
+            # dead slots (g >= nv) read a stale scratch buffer; zeroing
+            # wabove makes the fill converge in 2 rounds and every
+            # moment identically 0 — the output row is deterministic
+            # zeros, filtered downstream by the valid flag
+            wabove = jnp.where(in_win & finite & (win > threshold) & live,
                                1.0, 0.0).astype(jnp.float32)
 
             def grow(member):
@@ -172,6 +186,13 @@ def _make_kernel(n_peaks: int, window: int, half: int):
                 row = row + jnp.where(out_cols == c, val, 0.0)
             acc = acc + jnp.where(out_rows == j, row, 0.0)
 
+            # recycle the freed slot for peak g + _NSLOT (ring depth
+            # _NSLOT: issued after this peak's reads, 3 peaks ahead of
+            # its own wait)
+            @pl.when(g + _NSLOT < nv)
+            def _():
+                dma(slot, g + _NSLOT).start()
+
         out_ref[:, :] = acc
 
     return kernel
@@ -205,14 +226,18 @@ def pad_for_windows(image: jax.Array, window: int = 41):
 def window_stats_pallas(padded: jax.Array, pys: jax.Array,
                         pxs: jax.Array, threshold: jax.Array,
                         bg_med: jax.Array, window: int = 41,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        n_valid: jax.Array | None = None) -> jax.Array:
     """Per-peak window statistics on a :func:`pad_for_windows` plane.
 
     ``pys``/``pxs`` are int32 peak coords in PADDED coordinates (any
     in-plane value is safe — invalid peaks are filtered downstream).
-    Returns [K, 9] f32 rows: npix, flux, cy, cx, r2m, sxx, syy, sxy,
-    pval — window-relative centroids (0..window-1), same as the XLA
-    path.
+    ``n_valid`` (traced i32 scalar) marks the live-peak PREFIX length:
+    slots >= n_valid skip their DMA and return all-zero rows (the
+    caller's peak list comes from a descending top_k, so invalid
+    slots are always a suffix). Returns [K, 9] f32 rows: npix, flux,
+    cy, cx, r2m, sxx, syy, sxy, pval — window-relative centroids
+    (0..window-1), same as the XLA path.
     """
     if window > _KEEP_COLS - 7:
         raise ValueError(f"window {window} exceeds kernel block")
@@ -225,10 +250,13 @@ def window_stats_pallas(padded: jax.Array, pys: jax.Array,
         # padded slots point at the plane origin (always in-range)
         pys = jnp.concatenate([pys, jnp.full(kp - k, half, jnp.int32)])
         pxs = jnp.concatenate([pxs, jnp.full(kp - k, half, jnp.int32)])
+    if n_valid is None:
+        n_valid = jnp.int32(k)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     params = jnp.zeros((8, 128), jnp.float32)
     params = params.at[0, 0].set(threshold).at[0, 1].set(bg_med)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(kp // _BLOCK,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0)),
@@ -236,8 +264,8 @@ def window_stats_pallas(padded: jax.Array, pys: jax.Array,
         ],
         out_specs=pl.BlockSpec((_BLOCK, 128), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, _FETCH_ROWS, _FETCH_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NSLOT, _FETCH_ROWS, _FETCH_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NSLOT,)),
         ],
     )
     out = pl.pallas_call(
@@ -245,5 +273,5 @@ def window_stats_pallas(padded: jax.Array, pys: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.float32),
         interpret=interpret,
-    )(pys, pxs, params, padded)
+    )(pys, pxs, nv, params, padded)
     return out[:k, :9]
