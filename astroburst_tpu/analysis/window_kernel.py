@@ -21,10 +21,16 @@ This kernel does the whole thing in ONE pass at DMA copy speed:
   window at (0, 0) (negative dynamic roll amounts miscompile — the
   rotate is by the positive complement), a static slice drops to
   [48, 128];
-- the bounded flood fill runs as ``half`` rounds of SEPARABLE 3×3
-  box dilation (max over rows then cols — 4 rolls per round instead
-  of 8 neighbor shifts) on f32 0/1 masks (no stored i1 vectors on
-  Mosaic), entirely in registers;
+- the bounded flood fill runs as SEPARABLE 3×3 box dilation rounds
+  (max over rows then cols — 4 rolls per round instead of 8 neighbor
+  shifts) on f32 0/1 masks (no stored i1 vectors on Mosaic), JOINTLY
+  over all peaks of the block on one lane-concatenated
+  (48, _BLOCK·128) tile with a single fixed-point while_loop — the
+  per-peak loop's data-dependent rounds each cost a scalar-core
+  branch + pipeline flush, which dominated the kernel (~9.4 ms at
+  4096 peaks regardless of live count); cross-segment lane wraps are
+  masked exactly like the single-window wraparound (lanes 41..127 of
+  every segment are outside the window mask);
 - both moment passes (flux/centroid, then central second moments)
   reduce in-register; nine scalars per peak are splatted into one
   (8, 128) accumulator row via lane-iota selects (Mosaic cannot store
@@ -89,9 +95,6 @@ def _make_kernel(n_peaks: int, window: int, half: int):
                                           (_FETCH_ROWS, _KEEP_COLS), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32,
                                           (_FETCH_ROWS, _KEEP_COLS), 1)
-        in_win = (rows_i < window) & (cols_i < window)
-        member0 = jnp.where((rows_i == half) & (cols_i == half), 1.0,
-                            0.0).astype(jnp.float32)
         yy = rows_i.astype(jnp.float32)
         xx = cols_i.astype(jnp.float32)
         out_rows = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 128), 0)
@@ -107,12 +110,16 @@ def _make_kernel(n_peaks: int, window: int, half: int):
                 def _(d=d):
                     dma(d, d).start()
 
+        # --- phase A: per-peak DMA wait + alignment rolls; collect the
+        # 16 aligned windows side by side along lanes. The per-peak
+        # rolls are dynamic (peak-specific residuals) so they cannot be
+        # joint, but they are pure VPU data movement — cheap.
+        wins = []
         for j in range(_BLOCK):
             g = i * _BLOCK + j
             slot = jax.lax.rem(g, _NSLOT)
-            live = g < nv
 
-            @pl.when(live)
+            @pl.when(g < nv)
             def _():
                 dma(slot, g).wait()
 
@@ -123,49 +130,80 @@ def _make_kernel(n_peaks: int, window: int, half: int):
             # rotate the window to (0, 0); shifts stay > 0
             block = pltpu.roll(block, _FETCH_ROWS - ry, 0)
             block = pltpu.roll(block, _FETCH_COLS - rx, 1)
-            win = block[:, :_KEEP_COLS]
+            wins.append(block[:, :_KEEP_COLS])
 
-            finite = jnp.isfinite(win)
-            # dead slots (g >= nv) read a stale scratch buffer; zeroing
-            # wabove makes the fill converge in 2 rounds and every
-            # moment identically 0 — the output row is deterministic
-            # zeros, filtered downstream by the valid flag
-            wabove = jnp.where(in_win & finite & (win > threshold) & live,
-                               1.0, 0.0).astype(jnp.float32)
+            # recycle the freed slot for peak g + _NSLOT (ring depth
+            # _NSLOT: issued after this peak's reads, 3 peaks ahead of
+            # its own wait)
+            @pl.when(g + _NSLOT < nv)
+            def _():
+                dma(slot, g + _NSLOT).start()
 
-            def grow(member):
-                # separable 3×3 box dilation: max over rows, then
-                # cols. Wrapped-in values are always 0 (outside-window
-                # rows/cols have wabove == 0 every round).
-                up = pltpu.roll(member, _FETCH_ROWS - 1, 0)
-                dn = pltpu.roll(member, 1, 0)
-                md = jnp.maximum(member, jnp.maximum(up, dn))
-                lf = pltpu.roll(md, _KEEP_COLS - 1, 1)
-                rt = pltpu.roll(md, 1, 1)
-                return jnp.maximum(md, jnp.maximum(lf, rt)) * wabove
+        # --- phase B: ONE joint flood fill over all _BLOCK windows,
+        # lane-concatenated to (48, _BLOCK·128). The per-peak
+        # while_loop was the kernel's real cost: each data-dependent
+        # round is a scalar-core branch + pipeline flush, and 16
+        # loops/program × 256 programs held the kernel at ~9.4 ms
+        # regardless of peak count. Lane rolls that cross a segment
+        # boundary wrap a NEIGHBOR window's edge lane instead of the
+        # window's own wrap — both are outside the window mask
+        # (wabove == 0 at lanes 41..127 of every segment), so the joint
+        # fill is bit-identical to 16 independent fills.
+        jw = _BLOCK * _KEEP_COLS
+        joint = jnp.concatenate(wins, axis=1)       # (48, jw)
+        jrows = jax.lax.broadcasted_iota(jnp.int32, (_FETCH_ROWS, jw), 0)
+        jlane = jax.lax.broadcasted_iota(jnp.int32, (_FETCH_ROWS, jw), 1)
+        jseg = jlane // _KEEP_COLS                  # peak index j
+        jcol = jlane - jseg * _KEEP_COLS            # col within window
+        jin_win = (jrows < window) & (jcol < window)
+        # dead slots (g >= nv) hold stale scratch; zeroing their lanes
+        # makes the fill drop their seed in round 1 and every moment
+        # identically 0 — deterministic zero rows, filtered downstream
+        jlive = (i * _BLOCK + jseg) < nv
+        finite = jnp.isfinite(joint)
+        wabove = jnp.where(jin_win & finite & (joint > threshold) & jlive,
+                           1.0, 0.0).astype(jnp.float32)
+        member0 = jnp.where((jrows == half) & (jcol == half), 1.0,
+                            0.0).astype(jnp.float32)
 
-            # while_loop with fixed-point exit: membership grows
-            # monotonically, so an unchanged count == converged and
-            # further rounds are identity — typical stars fill in ~4-6
-            # rounds, not the worst-case `half` the fori form always
-            # paid (the fill is the kernel's VPU hot loop)
-            def fill_cond(c):
-                rnd, n_now, n_prev, _ = c
-                return (rnd < half) & (n_now != n_prev)
+        def grow(member):
+            # separable 3×3 box dilation: max over rows, then cols.
+            # Wrapped-in values are always masked (outside-window
+            # rows/cols have wabove == 0 every round).
+            up = pltpu.roll(member, _FETCH_ROWS - 1, 0)
+            dn = pltpu.roll(member, 1, 0)
+            md = jnp.maximum(member, jnp.maximum(up, dn))
+            lf = pltpu.roll(md, jw - 1, 1)
+            rt = pltpu.roll(md, 1, 1)
+            return jnp.maximum(md, jnp.maximum(lf, rt)) * wabove
 
-            def fill_body(c):
-                rnd, n_now, _, member = c
-                member = grow(member)
-                return (rnd + 1, jnp.sum(member), n_now, member)
+        # fixed-point exit: membership grows monotonically per window,
+        # so the joint count is monotone and unchanged == all windows
+        # converged; runs max-over-peaks rounds (+1 detect round)
+        def fill_cond(c):
+            rnd, n_now, n_prev, _ = c
+            return (rnd < half) & (n_now != n_prev)
 
-            _, _, _, member = jax.lax.while_loop(
-                fill_cond, fill_body,
-                (jnp.int32(0), jnp.float32(1.0), jnp.float32(-1.0),
-                 member0))
+        def fill_body(c):
+            rnd, n_now, _, member = c
+            member = grow(member)
+            return (rnd + 1, jnp.sum(member), n_now, member)
 
-            v = member * jnp.maximum(
-                jnp.where(finite, win, 0.0) - bg_med, 0.0)
-            npix = jnp.sum(member)
+        _, _, _, member = jax.lax.while_loop(
+            fill_cond, fill_body,
+            (jnp.int32(0), jnp.float32(float(_BLOCK)), jnp.float32(-1.0),
+             member0))
+
+        jv = member * jnp.maximum(
+            jnp.where(finite, joint, 0.0) - bg_med, 0.0)
+
+        # --- phase C: per-peak moments on static lane slices of the
+        # joint tile (plain VPU reductions, no loops)
+        for j in range(_BLOCK):
+            sl = slice(j * _KEEP_COLS, (j + 1) * _KEEP_COLS)
+            v = jv[:, sl]
+            memj = member[:, sl]
+            npix = jnp.sum(memj)
             flux = jnp.sum(v)
             safe_flux = jnp.maximum(flux, 1e-30)
             cy = jnp.sum(yy * v) / safe_flux
@@ -185,13 +223,6 @@ def _make_kernel(n_peaks: int, window: int, half: int):
                                      syy, sxy, pval)):
                 row = row + jnp.where(out_cols == c, val, 0.0)
             acc = acc + jnp.where(out_rows == j, row, 0.0)
-
-            # recycle the freed slot for peak g + _NSLOT (ring depth
-            # _NSLOT: issued after this peak's reads, 3 peaks ahead of
-            # its own wait)
-            @pl.when(g + _NSLOT < nv)
-            def _():
-                dma(slot, g + _NSLOT).start()
 
         out_ref[:, :] = acc
 
