@@ -25,16 +25,20 @@ from astroburst_tpu.ops.quantile import _count_below_edges, masked_median_mad
 EXACT_PATH_MAX_PIXELS = 4_000_000  # stats.rs:18
 
 
-def stats_core(x: jax.Array, exact_pair: bool, flatten: bool = True):
+def stats_core(x: jax.Array, exact_pair: bool, flatten: bool = False):
     """Pure traced stats: (min, max, sum, count, median, mad).
 
     Composable inside larger jitted pipelines; `_stats_kernel` is the
     standalone jitted entry point.
 
-    flatten=False keeps x in its natural ND shape so the median's
-    compare-count passes stay GSPMD-shardable (the flat path's
-    pad+reshape chunking all-gathers a sharded plane) — pass it from
-    every sharded pipeline. Results are identical.
+    flatten=False (default) keeps x in its natural ND shape: the
+    median's compare-count rounds run as ONE fused broadcast-compare-
+    reduce each — measured 7.83 vs 9.37 ms for the flat path's
+    chunked-scan form on a 12.5 Mpx plane on v5e (the scan serializes
+    3 chunk steps × 6 rounds), bit-identical results — and they stay
+    GSPMD-shardable (the flat path's pad+reshape chunking all-gathers
+    a sharded plane). flatten=True remains for callers that want the
+    bounded-intermediate chunked form on very large planes.
     """
     flat = x.reshape(-1) if flatten else x
     mask = validity_mask(flat)
