@@ -74,157 +74,174 @@ def _make_kernel(n_peaks: int, window: int, half: int):
         # issue/wait/fill rounds ≈ 3 ms)
         nv = jnp.minimum(nv_ref[0], n_peaks)
 
-        def origin(g):
-            # padded-plane coords of the aligned fetch origin; the
-            # caller's padding guarantees these are in-range
-            y0 = ((py_ref[g] - half) // 8) * 8
-            x0 = ((px_ref[g] - half) // 128) * 128
-            return pl.multiple_of(y0, 8), pl.multiple_of(x0, 128)
+        # whole-program skip: a block whose FIRST peak is dead has no
+        # live work at all (live peaks are a prefix) — write the zero
+        # rows and return. Per-peak DMA guards alone left phases B/C
+        # running for every program, which pinned the kernel at ~9 ms
+        # regardless of the live count.
+        out_ref[:, :] = jnp.zeros((_BLOCK, 128), jnp.float32)
 
-        def dma(slot, g):
-            y0, x0 = origin(g)
-            return pltpu.make_async_copy(
-                plane_hbm.at[pl.ds(y0, _FETCH_ROWS),
-                             pl.ds(x0, _FETCH_COLS)],
-                scratch.at[slot], sem.at[slot])
+        @pl.when(i * _BLOCK < nv)
+        def _live_body():
 
-        threshold = params_ref[0, 0]
-        bg_med = params_ref[0, 1]
+            def origin(g):
+                # padded-plane coords of the aligned fetch origin; the
+                # caller's padding guarantees these are in-range
+                y0 = ((py_ref[g] - half) // 8) * 8
+                x0 = ((px_ref[g] - half) // 128) * 128
+                return pl.multiple_of(y0, 8), pl.multiple_of(x0, 128)
 
-        rows_i = jax.lax.broadcasted_iota(jnp.int32,
-                                          (_FETCH_ROWS, _KEEP_COLS), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32,
-                                          (_FETCH_ROWS, _KEEP_COLS), 1)
-        yy = rows_i.astype(jnp.float32)
-        xx = cols_i.astype(jnp.float32)
-        out_rows = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 128), 0)
-        out_cols = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 128), 1)
-        acc = jnp.zeros((_BLOCK, 128), jnp.float32)
+            def dma(slot, g):
+                y0, x0 = origin(g)
+                return pltpu.make_async_copy(
+                    plane_hbm.at[pl.ds(y0, _FETCH_ROWS),
+                                 pl.ds(x0, _FETCH_COLS)],
+                    scratch.at[slot], sem.at[slot])
 
-        @pl.when(i == 0)
-        def _():
-            # prime the ring: peaks 0.._NSLOT-1 (the loop issues g+_NSLOT
-            # at the END of iteration g, after the slot is free)
-            for d in range(_NSLOT):
-                @pl.when(jnp.int32(d) < nv)
-                def _(d=d):
-                    dma(d, d).start()
+            threshold = params_ref[0, 0]
+            bg_med = params_ref[0, 1]
 
-        # --- phase A: per-peak DMA wait + alignment rolls; collect the
-        # 16 aligned windows side by side along lanes. The per-peak
-        # rolls are dynamic (peak-specific residuals) so they cannot be
-        # joint, but they are pure VPU data movement — cheap.
-        wins = []
-        for j in range(_BLOCK):
-            g = i * _BLOCK + j
-            slot = jax.lax.rem(g, _NSLOT)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32,
+                                              (_FETCH_ROWS, _KEEP_COLS), 0)
+            cols_i = jax.lax.broadcasted_iota(jnp.int32,
+                                              (_FETCH_ROWS, _KEEP_COLS), 1)
+            yy = rows_i.astype(jnp.float32)
+            xx = cols_i.astype(jnp.float32)
+            out_rows = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 128), 0)
+            out_cols = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 128), 1)
+            acc = jnp.zeros((_BLOCK, 128), jnp.float32)
 
-            @pl.when(g < nv)
+            @pl.when(i == 0)
             def _():
-                dma(slot, g).wait()
+                # prime the ring: peaks 0.._NSLOT-1 (the loop issues g+_NSLOT
+                # at the END of iteration g, after the slot is free)
+                for d in range(_NSLOT):
+                    @pl.when(jnp.int32(d) < nv)
+                    def _(d=d):
+                        dma(d, d).start()
 
-            y0, x0 = origin(g)
-            ry = py_ref[g] - half - y0          # 0..7
-            rx = px_ref[g] - half - x0          # 0..127
-            block = scratch[slot]
-            # rotate the window to (0, 0); shifts stay > 0
-            block = pltpu.roll(block, _FETCH_ROWS - ry, 0)
-            block = pltpu.roll(block, _FETCH_COLS - rx, 1)
-            wins.append(block[:, :_KEEP_COLS])
+            # --- phase A: per-peak DMA wait + alignment rolls; collect the
+            # 16 aligned windows side by side along lanes. The per-peak
+            # rolls are dynamic (peak-specific residuals) so they cannot be
+            # joint, but they are pure VPU data movement — cheap.
+            wins = []
+            for j in range(_BLOCK):
+                g = i * _BLOCK + j
+                slot = jax.lax.rem(g, _NSLOT)
 
-            # recycle the freed slot for peak g + _NSLOT (ring depth
-            # _NSLOT: issued after this peak's reads, 3 peaks ahead of
-            # its own wait)
-            @pl.when(g + _NSLOT < nv)
-            def _():
-                dma(slot, g + _NSLOT).start()
+                @pl.when(g < nv)
+                def _():
+                    dma(slot, g).wait()
 
-        # --- phase B: ONE joint flood fill over all _BLOCK windows,
-        # lane-concatenated to (48, _BLOCK·128). The per-peak
-        # while_loop was the kernel's real cost: each data-dependent
-        # round is a scalar-core branch + pipeline flush, and 16
-        # loops/program × 256 programs held the kernel at ~9.4 ms
-        # regardless of peak count. Lane rolls that cross a segment
-        # boundary wrap a NEIGHBOR window's edge lane instead of the
-        # window's own wrap — both are outside the window mask
-        # (wabove == 0 at lanes 41..127 of every segment), so the joint
-        # fill is bit-identical to 16 independent fills.
-        jw = _BLOCK * _KEEP_COLS
-        joint = jnp.concatenate(wins, axis=1)       # (48, jw)
-        jrows = jax.lax.broadcasted_iota(jnp.int32, (_FETCH_ROWS, jw), 0)
-        jlane = jax.lax.broadcasted_iota(jnp.int32, (_FETCH_ROWS, jw), 1)
-        jseg = jlane // _KEEP_COLS                  # peak index j
-        jcol = jlane - jseg * _KEEP_COLS            # col within window
-        jin_win = (jrows < window) & (jcol < window)
-        # dead slots (g >= nv) hold stale scratch; zeroing their lanes
-        # makes the fill drop their seed in round 1 and every moment
-        # identically 0 — deterministic zero rows, filtered downstream
-        jlive = (i * _BLOCK + jseg) < nv
-        finite = jnp.isfinite(joint)
-        wabove = jnp.where(jin_win & finite & (joint > threshold) & jlive,
-                           1.0, 0.0).astype(jnp.float32)
-        member0 = jnp.where((jrows == half) & (jcol == half), 1.0,
-                            0.0).astype(jnp.float32)
+                y0, x0 = origin(g)
+                ry = py_ref[g] - half - y0          # 0..7
+                rx = px_ref[g] - half - x0          # 0..127
+                block = scratch[slot]
+                # rotate the window to (0, 0); shifts stay > 0
+                block = pltpu.roll(block, _FETCH_ROWS - ry, 0)
+                block = pltpu.roll(block, _FETCH_COLS - rx, 1)
+                wins.append(block[:, :_KEEP_COLS])
 
-        def grow(member):
-            # separable 3×3 box dilation: max over rows, then cols.
-            # Wrapped-in values are always masked (outside-window
-            # rows/cols have wabove == 0 every round).
-            up = pltpu.roll(member, _FETCH_ROWS - 1, 0)
-            dn = pltpu.roll(member, 1, 0)
-            md = jnp.maximum(member, jnp.maximum(up, dn))
-            lf = pltpu.roll(md, jw - 1, 1)
-            rt = pltpu.roll(md, 1, 1)
-            return jnp.maximum(md, jnp.maximum(lf, rt)) * wabove
+                # recycle the freed slot for peak g + _NSLOT (ring depth
+                # _NSLOT: issued after this peak's reads, 3 peaks ahead of
+                # its own wait)
+                @pl.when(g + _NSLOT < nv)
+                def _():
+                    dma(slot, g + _NSLOT).start()
 
-        # fixed-point exit: membership grows monotonically per window,
-        # so the joint count is monotone and unchanged == all windows
-        # converged; runs max-over-peaks rounds (+1 detect round)
-        def fill_cond(c):
-            rnd, n_now, n_prev, _ = c
-            return (rnd < half) & (n_now != n_prev)
+            # --- phase B: ONE joint flood fill over all _BLOCK windows,
+            # lane-concatenated to (48, _BLOCK·128). The per-peak
+            # while_loop was the kernel's real cost: each data-dependent
+            # round is a scalar-core branch + pipeline flush, and 16
+            # loops/program × 256 programs held the kernel at ~9.4 ms
+            # regardless of peak count. Lane rolls that cross a segment
+            # boundary wrap a NEIGHBOR window's edge lane instead of the
+            # window's own wrap — both are outside the window mask
+            # (wabove == 0 at lanes 41..127 of every segment), so the joint
+            # fill is bit-identical to 16 independent fills.
+            jw = _BLOCK * _KEEP_COLS
+            joint = jnp.concatenate(wins, axis=1)       # (48, jw)
+            jrows = jax.lax.broadcasted_iota(jnp.int32, (_FETCH_ROWS, jw), 0)
+            jlane = jax.lax.broadcasted_iota(jnp.int32, (_FETCH_ROWS, jw), 1)
+            jseg = jlane // _KEEP_COLS                  # peak index j
+            jcol = jlane - jseg * _KEEP_COLS            # col within window
+            jin_win = (jrows < window) & (jcol < window)
+            # dead slots (g >= nv) hold stale scratch; zeroing their lanes
+            # makes the fill drop their seed in round 1 and every moment
+            # identically 0 — deterministic zero rows, filtered downstream
+            jlive = (i * _BLOCK + jseg) < nv
+            finite = jnp.isfinite(joint)
+            wabove = jnp.where(jin_win & finite & (joint > threshold) & jlive,
+                               1.0, 0.0).astype(jnp.float32)
+            member0 = jnp.where((jrows == half) & (jcol == half), 1.0,
+                                0.0).astype(jnp.float32)
 
-        def fill_body(c):
-            rnd, n_now, _, member = c
-            member = grow(member)
-            return (rnd + 1, jnp.sum(member), n_now, member)
+            def grow(member):
+                # separable 3×3 box dilation: max over rows, then cols.
+                # Wrapped-in values are always masked (outside-window
+                # rows/cols have wabove == 0 every round).
+                up = pltpu.roll(member, _FETCH_ROWS - 1, 0)
+                dn = pltpu.roll(member, 1, 0)
+                md = jnp.maximum(member, jnp.maximum(up, dn))
+                lf = pltpu.roll(md, jw - 1, 1)
+                rt = pltpu.roll(md, 1, 1)
+                return jnp.maximum(md, jnp.maximum(lf, rt)) * wabove
 
-        _, _, _, member = jax.lax.while_loop(
-            fill_cond, fill_body,
-            (jnp.int32(0), jnp.float32(float(_BLOCK)), jnp.float32(-1.0),
-             member0))
+            # fixed-point exit: membership grows monotonically per window,
+            # so the joint count is monotone and unchanged == all windows
+            # converged. TWO dilations per while iteration: the fill is
+            # masked and monotone, so grows past the fixed point are the
+            # identity and the result is bit-identical — but each
+            # while-loop round trip costs a VPU→scalar reduction +
+            # branch, and halving the trips measured faster than
+            # per-round exits. rnd counts GROWS (steps of 2); worst case
+            # needs `half` grows, and rnd < half admits it (overshoot by
+            # one grow is identity).
+            def fill_cond(c):
+                rnd, n_now, n_prev, _ = c
+                return (rnd < half) & (n_now != n_prev)
 
-        jv = member * jnp.maximum(
-            jnp.where(finite, joint, 0.0) - bg_med, 0.0)
+            def fill_body(c):
+                rnd, n_now, _, member = c
+                member = grow(grow(member))
+                return (rnd + 2, jnp.sum(member), n_now, member)
 
-        # --- phase C: per-peak moments on static lane slices of the
-        # joint tile (plain VPU reductions, no loops)
-        for j in range(_BLOCK):
-            sl = slice(j * _KEEP_COLS, (j + 1) * _KEEP_COLS)
-            v = jv[:, sl]
-            memj = member[:, sl]
-            npix = jnp.sum(memj)
-            flux = jnp.sum(v)
-            safe_flux = jnp.maximum(flux, 1e-30)
-            cy = jnp.sum(yy * v) / safe_flux
-            cx = jnp.sum(xx * v) / safe_flux
-            dy = yy - cy
-            dx = xx - cx
-            r2m = jnp.sum((dx * dx + dy * dy) * v)
-            sxx = jnp.sum(dx * dx * v) / safe_flux
-            syy = jnp.sum(dy * dy * v) / safe_flux
-            sxy = jnp.sum(dx * dy * v) / safe_flux
-            pval = jnp.max(v)
+            _, _, _, member = jax.lax.while_loop(
+                fill_cond, fill_body,
+                (jnp.int32(0), jnp.float32(float(_BLOCK)), jnp.float32(-1.0),
+                 member0))
 
-            # splat the nine scalars into lane 0..8 of accumulator
-            # row j (Mosaic has no scalar VMEM stores)
-            row = jnp.zeros((_BLOCK, 128), jnp.float32)
-            for c, val in enumerate((npix, flux, cy, cx, r2m, sxx,
-                                     syy, sxy, pval)):
-                row = row + jnp.where(out_cols == c, val, 0.0)
-            acc = acc + jnp.where(out_rows == j, row, 0.0)
+            jv = member * jnp.maximum(
+                jnp.where(finite, joint, 0.0) - bg_med, 0.0)
 
-        out_ref[:, :] = acc
+            # --- phase C: per-peak moments on static lane slices of the
+            # joint tile (plain VPU reductions, no loops)
+            for j in range(_BLOCK):
+                sl = slice(j * _KEEP_COLS, (j + 1) * _KEEP_COLS)
+                v = jv[:, sl]
+                memj = member[:, sl]
+                npix = jnp.sum(memj)
+                flux = jnp.sum(v)
+                safe_flux = jnp.maximum(flux, 1e-30)
+                cy = jnp.sum(yy * v) / safe_flux
+                cx = jnp.sum(xx * v) / safe_flux
+                dy = yy - cy
+                dx = xx - cx
+                r2m = jnp.sum((dx * dx + dy * dy) * v)
+                sxx = jnp.sum(dx * dx * v) / safe_flux
+                syy = jnp.sum(dy * dy * v) / safe_flux
+                sxy = jnp.sum(dx * dy * v) / safe_flux
+                pval = jnp.max(v)
+
+                # splat the nine scalars into lane 0..8 of accumulator
+                # row j (Mosaic has no scalar VMEM stores)
+                row = jnp.zeros((_BLOCK, 128), jnp.float32)
+                for c, val in enumerate((npix, flux, cy, cx, r2m, sxx,
+                                         syy, sxy, pval)):
+                    row = row + jnp.where(out_cols == c, val, 0.0)
+                acc = acc + jnp.where(out_rows == j, row, 0.0)
+
+            out_ref[:, :] = acc
 
     return kernel
 

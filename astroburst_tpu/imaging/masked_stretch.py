@@ -56,7 +56,7 @@ def _masked_median(working, bg_mask):
     cnt = jnp.sum(bg_mask.astype(jnp.int32)).astype(jnp.float32)
     rank = jnp.floor(cnt / 2.0) + 1.0  # 0-based index len/2 → rank len/2+1
     val = masked_rank_values(flat, rank[None], jnp.float32(0.0),
-                             jnp.float32(1.0), rounds=3)[0]
+                             jnp.float32(1.0))[0]
     return jnp.where(cnt > 0, val, 0.0)
 
 

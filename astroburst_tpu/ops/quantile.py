@@ -24,8 +24,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BINS = 64
-ROUNDS = 3  # range/64³ ≈ 4e-6 relative resolution — inside the 1e-5 budget
+# 8 edges-per-round x 6 rounds: SAME final bracket resolution as the
+# previous 64-bin x 3-round config (8**6 == 64**3 == 262144, ~4e-6
+# relative -- inside the 1e-5 parity budget) at 42 compares/element
+# instead of 189. The compare-count is VPU-compute-bound at >10 Mpx --
+# with K rank queries each round costs K*(BINS-1) compares per
+# element, so fewer, narrower rounds win even though each round is one
+# more (memory-cheap) pass over x.
+BINS = 8
+ROUNDS = 6
 _CHUNK = 1 << 22  # 4M elements per scan step (measured best on v5e)
 
 

@@ -173,7 +173,7 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                 tc = jnp.where(icol + sc > w - 1, right, tc)
             return tc
 
-        def body(edge_fix: bool):
+        def body(edge_fix: bool, skip_inside: bool = False):
             vals = []
             for k in range(n):
                 tc = frame_tile(k, edge_fix)
@@ -208,7 +208,19 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
                     center = tc[1:1 + block_h, 1:1 + block_w]
                     out = jnp.where(zero_k, center, out)
                     picked = out
-                # outside-source pixels are exactly 0 (align.rs:48-51)
+                # outside-source pixels are exactly 0 (align.rs:48-51).
+                # Interior blocks in single-device mode skip the mask:
+                # row0 ≥ off_max+1 and row0 ≤ h−block_h−off_max−3 with
+                # |dy| ≤ off_max (the wrapper clamps) bound sy to
+                # [1, h−4] ⊂ (−0.5, gh−0.5) — `inside` is statically
+                # true, and the per-frame compare+select chain was
+                # ~as much VPU work as the CR taps themselves. Slab
+                # mode keeps the mask everywhere: a slab-interior block
+                # on the top/bottom device can still be GLOBALLY
+                # outside-source.
+                if skip_inside:
+                    vals.append(picked)
+                    continue
                 dy = shift_ref[k, 0].astype(jnp.float32) + frac_ref[k, 0]
                 dx = shift_ref[k, 1].astype(jnp.float32) + frac_ref[k, 1]
                 sy = yy + rowf + dy
@@ -233,7 +245,8 @@ def _make_kernel(n: int, h: int, w: int, hp: int, wp: int,
 
         @pl.when(is_interior)
         def _fast():
-            body(edge_fix=False)
+            body(edge_fix=False,
+                 skip_inside=(out_off == 0 and gh == h))
 
         @pl.when(jnp.logical_not(is_interior))
         def _full():
