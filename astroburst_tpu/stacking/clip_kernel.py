@@ -90,29 +90,12 @@ def _clip_body(vals, sigma_low: float, sigma_high: float, max_iter: int):
 
     svals = _network_sort([jnp.where(f > 0, v, jnp.inf)
                            for v, f in zip(safe, finite)])
-    mask = list(finite)
-    stopped = zero
-    last_center = zero
-    have_center = zero
 
-    for it in range(max_iter):
+    def step(mask, stopped, last_center, have_center, center, sigma):
+        """One clip round given (center, sigma); returns updated state
+        plus the block-wide change count (0 ⇒ every later round is the
+        identity: masks fixed ⇒ centers fixed ⇒ keeps fixed)."""
         cnt = sum(mask)
-        cntf = jnp.maximum(cnt, 1.0)
-        if it == 0:
-            rank = jnp.floor(cnt * 0.5)
-            med = _rank_select_regs(svals, rank)
-            sdev = _network_sort([jnp.where(m > 0, jnp.abs(v - med), jnp.inf)
-                                  for v, m in zip(safe, mask)])
-            mad = _rank_select_regs(sdev, rank)
-            center = med
-            sigma = jnp.maximum(mad * MAD_TO_SIGMA, 1e-10).astype(jnp.float32)
-        else:
-            mean = sum(v * m for v, m in zip(safe, mask)) / cntf
-            var = sum((v - mean) ** 2 * m
-                      for v, m in zip(safe, mask)) / jnp.maximum(cntf - 1.0,
-                                                                 1.0)
-            center = mean
-            sigma = jnp.maximum(jnp.sqrt(var), 1e-10)
         active = jnp.where((cnt >= 2.0) & (stopped == 0.0), one, zero)
         lo = -sigma_low * sigma
         hi = sigma_high * sigma
@@ -126,7 +109,52 @@ def _clip_body(vals, sigma_low: float, sigma_high: float, max_iter: int):
                               active * jnp.where(new_cnt == cnt, one, zero))
         last_center = jnp.where(active > 0, center, last_center)
         have_center = jnp.maximum(have_center, active)
-        mask = new_mask
+        changed = jnp.sum(jnp.abs(new_cnt - cnt))
+        return new_mask, stopped, last_center, have_center, changed
+
+    # iteration 0: median/MAD center (the sort lists stay out of the
+    # loop that follows — they are only read here)
+    mask = list(finite)
+    cnt0 = sum(mask)
+    rank = jnp.floor(cnt0 * 0.5)
+    med = _rank_select_regs(svals, rank)
+    sdev = _network_sort([jnp.where(m > 0, jnp.abs(v - med), jnp.inf)
+                          for v, m in zip(safe, mask)])
+    mad = _rank_select_regs(sdev, rank)
+    sigma0 = jnp.maximum(mad * MAD_TO_SIGMA, 1e-10).astype(jnp.float32)
+    mask, stopped, last_center, have_center, changed = step(
+        mask, zero, zero, zero, med, sigma0)
+
+    # iterations 1..max_iter-1 (mean/σ center) as a fixed-point loop:
+    # when NO pixel's retained count changed in a round, every pixel is
+    # either stopped or untouched — the next round recomputes the same
+    # center/σ and keeps the same set, so exiting early is exact. The
+    # unrolled form paid all max_iter rounds of VPU work per block even
+    # though most blocks converge after 1-2 mean/σ rounds.
+    def iter_cond(c):
+        it, chg = c[0], c[1]
+        return (it < max_iter) & (chg > 0)
+
+    def iter_body(c):
+        it, _, mask, stopped, last_center, have_center = c
+        cnt = sum(mask)
+        cntf = jnp.maximum(cnt, 1.0)
+        mean = sum(v * m for v, m in zip(safe, mask)) / cntf
+        var = sum((v - mean) ** 2 * m
+                  for v, m in zip(safe, mask)) / jnp.maximum(cntf - 1.0,
+                                                             1.0)
+        sigma = jnp.maximum(jnp.sqrt(var), 1e-10)
+        mask, stopped, last_center, have_center, chg = step(
+            list(mask), stopped, last_center, have_center, mean, sigma)
+        return (it + 1, chg, tuple(mask), stopped, last_center,
+                have_center)
+
+    if max_iter > 1:
+        _, _, mask, stopped, last_center, have_center = jax.lax.while_loop(
+            iter_cond, iter_body,
+            (jnp.int32(1), changed, tuple(mask), stopped, last_center,
+             have_center))
+        mask = list(mask)
 
     final_cnt = sum(mask)
     total = sum(v * m for v, m in zip(safe, mask))
