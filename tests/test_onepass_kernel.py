@@ -250,3 +250,34 @@ def test_adaptive_envelope_branches_match():
                                     interpret=True, adaptive=False)
         np.testing.assert_array_equal(np.asarray(ca), np.asarray(cf))
         assert int(ra) == int(rf)
+
+
+def test_adaptive_wide_block_branch_matches():
+    """The wide-block (56x384) small-envelope variant must be bit-exact
+    with the default-block form. The plane must pad to >= the (80, 640)
+    fetch window for the wide branch to engage (smaller planes fall
+    back to 64x256 -- also covered here via the 300-wide case above)."""
+    import jax.numpy as jnp
+    from astroburst_tpu.stacking.onepass_kernel import (
+        ADAPTIVE_BLOCK_H, ADAPTIVE_BLOCK_W, ADAPTIVE_OFF,
+        _shift_clip_onepass_padded, pad_stack_aligned, shift_clip_onepass)
+
+    rng = np.random.default_rng(9)
+    h, w = 120, 700  # pads to wp=768 >= 640: wide branch engages
+    stack = jnp.asarray(rng.normal(100, 8, (4, h, w)).astype(np.float32))
+    dys = jnp.asarray(rng.uniform(-4, 4, 4), jnp.float32)
+    dxs = jnp.asarray(rng.uniform(-4, 4, 4), jnp.float32)
+    ca, ra = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 2,
+                                interpret=True, adaptive=True)
+    padded = pad_stack_aligned(stack)
+    cw, rw = _shift_clip_onepass_padded(
+        padded, dys, dxs, h=h, w=w, sigma_low=3.0, sigma_high=3.0,
+        max_iter=2, off_max=ADAPTIVE_OFF, interpret=True,
+        block_h=ADAPTIVE_BLOCK_H, block_w=ADAPTIVE_BLOCK_W,
+        zero_frames=None)
+    cd, rd = shift_clip_onepass(stack, dys, dxs, 3.0, 3.0, 2,
+                                interpret=True, adaptive=False)
+    # adaptive path == explicit wide call == default-block path
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cw))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cd))
+    assert int(ra) == int(rw) == int(rd)
