@@ -123,6 +123,14 @@ def correlate_single(a, b):
     """Single-scale phase correlation; supports leading batch dims.
 
     Returns traced (dy, dx, confidence) f32 scalars (or batched).
+
+    Both FFT stages run on the HALF spectrum (ops.fft.rfft2/irfft2):
+    the inputs are real and the cross-power of two conjugate-symmetric
+    spectra is conjugate-symmetric, so its inverse is the real
+    correlation surface — the redundant spectrum half never exists.
+    Measured 10.0 vs 12.0 ms for the headline align stage (this is
+    NOT the r2 pair-packing experiment, which lost to its slice/flip
+    passes; the half-spectrum form has none).
     """
     rows, cols = a.shape[-2], a.shape[-1]
     fft_rows = F.next_power_of_two(rows)
@@ -130,14 +138,20 @@ def correlate_single(a, b):
 
     fa = _windowed_padded(a, fft_rows, fft_cols)
     fb = _windowed_padded(b, fft_rows, fft_cols)
-    far, fai = F.fft2_real(fa)
-    fbr, fbi = F.fft2_real(fb)
     # Fb·conj(Fa): with b displaced by (+dy, +dx) relative to a, the
     # inverse-FFT peak lands at (+dy, +dx), so shift_bicubic(b, dy, dx)
     # maps b back onto a — the contract the reference's align loop
     # relies on (core/stacking/align.rs:92-105).
-    cr, ci = F.cross_power(fbr, fbi, far, fai, EPSILON)
-    corr = F.ifft2_real(cr, ci)
+    if fft_rows % 2 == 0 and fft_cols % 2 == 0:
+        far, fai = F.rfft2(fa)
+        fbr, fbi = F.rfft2(fb)
+        cr, ci = F.cross_power(fbr, fbi, far, fai, EPSILON)
+        corr = F.irfft2(cr, ci, fft_cols)
+    else:  # degenerate 1-px axes: rfft2 requires even dims
+        far, fai = F.fft2_real(fa)
+        fbr, fbi = F.fft2_real(fb)
+        cr, ci = F.cross_power(fbr, fbi, far, fai, EPSILON)
+        corr = F.ifft2_real(cr, ci)
 
     dy, dx, confidence = _corr_to_shift(corr, fft_rows, fft_cols)
 
