@@ -395,6 +395,12 @@ def main():
         except Exception as e:  # keep the headline JSON on a row failure
             ops = {"error": f"{type(e).__name__}: {e}"}
 
+    # Emission contract (VERDICT r4 #1): the per-op table goes on its own
+    # EARLIER stdout line; the compact headline JSON — value, vs_baseline,
+    # stage_ms, no ops — is the FINAL stdout line, so the driver's
+    # fixed-size tail capture can never truncate the round's primary
+    # result no matter how large the ops table grows.
+    print(json.dumps({"ops": ops}))
     print(json.dumps({
         "metric": "align+stack+stretch megapixels/sec/chip "
                   f"({N_FRAMES}x{H}x{W} f32, 5 clip iters)",
@@ -410,7 +416,6 @@ def main():
         "warp_16mpx_ms": round(warp_ms, 1),
         "ingest_decode_gb_s": round(ingest_gb_s, 2),
         "ingest_cores": ingest_cores,
-        "ops": ops,
     }))
 
 
