@@ -461,6 +461,25 @@ def _fused_align_warp_cached(rxs, rys, rn, rr_t, rv_t, tgt,
                        max_peaks, m_v, m_h, nbits_v, nbits_h, interpret)
 
 
+@partial(jax.jit, static_argnames=(
+    "tile_size", "max_peaks", "m_v", "m_h", "nbits_v", "nbits_h",
+    "interpret"))
+def _fused_align_warp_many(rxs, rys, rn, rr_t, rv_t, tgts,
+                           tile_size: int, max_peaks: int, m_v: int,
+                           m_h: int, nbits_v: int, nbits_h: int,
+                           interpret: bool = False):
+    """All targets in ONE device program: the per-target chains are
+    unrolled over the leading axis of ``tgts`` [T, H, W], so the host
+    pays one launch and one info fetch for the whole channel set
+    (compose aligns G and B to R — blend.rs:226 — and the per-target
+    launch+fetch gap was ~40 ms each on the lab tunnel)."""
+    outs = [_chain_body(rxs, rys, rn, rr_t, rv_t, tgts[k], tile_size,
+                        max_peaks, m_v, m_h, nbits_v, nbits_h, interpret)
+            for k in range(tgts.shape[0])]
+    return (jnp.stack([w for w, _ in outs]),
+            jnp.stack([i for _, i in outs]))
+
+
 @partial(jax.jit, static_argnames=("tile_size", "max_peaks"))
 def _detect_ref_jit(ref, tile_size: int, max_peaks: int):
     xs, ys, n = _detect_device(ref, tile_size, max_peaks)
@@ -541,6 +560,14 @@ def align_and_warp(reference, target, envelope: float = 0.035,
                                          m_v, m_h, nbits_v, nbits_h,
                                          interpret)
     info = np.asarray(info)   # the ONE host fetch
+    return _interpret_info(info, ref, tgt, rows, cols, warped)
+
+
+def _interpret_info(info, ref, tgt, rows, cols, warped):
+    """Host-side interpretation of one chain info vector: build the
+    result dataclass, route chain failures to the phase-correlation
+    fallback (affine.rs:258-270 semantics), and re-warp on the host
+    path when the transform fell outside the static shear envelope."""
     params = info[:6]
     method = int(info[6])
     cnt = int(info[7])
@@ -549,7 +576,7 @@ def align_and_warp(reference, target, envelope: float = 0.035,
     env_ok = info[10] > 0.5
 
     if method == 0:
-        _ = info  # star chain failed: host fallback (rare path)
+        # star chain failed: host fallback (rare path)
         res = A._fallback_phase_correlation(ref, tgt, rows, cols)
         return A.warp_image(tgt, res.transform, rows, cols), res
 
@@ -561,3 +588,47 @@ def align_and_warp(reference, target, envelope: float = 0.035,
     if not env_ok:
         return A.warp_image(tgt, t, rows, cols), res
     return warped, res
+
+
+def align_and_warp_many(reference, targets, envelope: float = 0.035,
+                        max_peaks: int = SD.MAX_PEAKS,
+                        ref_stars: RefStars | None = None,
+                        ) -> list:
+    """Align EVERY target to ``reference`` in one device program with
+    one host info fetch (see :func:`_fused_align_warp_many`); returns
+    a list of ``(warped, AffineAlignResult)`` pairs in target order.
+    Falls back to per-target :func:`align_and_warp` for shapes the
+    fused chain does not handle."""
+    ref = jnp.asarray(reference, jnp.float32)
+    tgts = [jnp.asarray(t, jnp.float32) for t in targets]
+    rows, cols = ref.shape
+    if (not tgts or rows < 16 or cols < 16
+            or any(t.shape != ref.shape for t in tgts)):
+        return [align_and_warp(ref, t, envelope, max_peaks,
+                               ref_stars=ref_stars) for t in tgts]
+
+    tile_size = min(max(min(rows, cols) // 8, 32), 256)
+    span_v = envelope * max(cols - 1, 1)
+    span_h = envelope * max(rows - 1, 1)
+    m_v = _bucket(int(span_v) + 4)
+    m_h = _bucket(int(span_h) + 4)
+    nbits_v = max(int(span_v) + 1, 1).bit_length()
+    nbits_h = max(int(span_h) + 1, 1).bit_length()
+    interpret = jax.default_backend() != "tpu"
+
+    if ref_stars is None:
+        ref_stars = detect_ref_stars(ref, max_peaks)
+    elif ref_stars.shape != ref.shape or ref_stars.max_peaks != max_peaks:
+        raise ValueError("ref_stars were detected for shape "
+                         f"{ref_stars.shape}/max_peaks="
+                         f"{ref_stars.max_peaks}; got {ref.shape}/"
+                         f"{max_peaks}")
+
+    warped_all, infos = _fused_align_warp_many(
+        ref_stars.xs, ref_stars.ys, ref_stars.n, ref_stars.ratios_t,
+        ref_stars.verts_t, jnp.stack(tgts), tile_size, max_peaks,
+        m_v, m_h, nbits_v, nbits_h, interpret)
+    infos = np.asarray(infos)   # the ONE host fetch for all targets
+    return [_interpret_info(infos[k], ref, tgts[k], rows, cols,
+                            warped_all[k])
+            for k in range(len(tgts))]

@@ -10,6 +10,7 @@ ORIG/KEY cache).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -28,6 +29,8 @@ from astroburst_tpu.imaging.resample import resample_image
 from astroburst_tpu.imaging.scnr import apply_scnr
 from astroburst_tpu.imaging.stf import auto_stf, _stf_core
 from astroburst_tpu.ops.stats import compute_image_stats
+
+log = logging.getLogger("astroburst.align")
 
 
 @dataclass
@@ -131,9 +134,21 @@ def align_rgb_channels(r, g, b, rows: int, cols: int, method):
             and jnp.asarray(ref).shape == (rows, cols)
             and min(rows, cols) >= 16):
         # both aligns share the reference channel: detect its stars
-        # once (~18 ms of the ~48 ms fused chain per align)
-        from astroburst_tpu.alignment.fused_chain import detect_ref_stars
+        # once (~18 ms of the ~48 ms fused chain per align) and run
+        # BOTH chains in one device program with one info fetch
+        # (fused_chain.align_and_warp_many)
+        from astroburst_tpu.alignment.fused_chain import (
+            align_and_warp_many, detect_ref_stars)
         ref_stars = detect_ref_stars(ref)
+        (g_img, res_g), (b_img, res_b) = align_and_warp_many(
+            ref, [g_img, b_img], ref_stars=ref_stars)
+        for label, res in (("G", res_g), ("B", res_b)):
+            log.info("%s alignment: %s, offset=(%.2f, %.2f), "
+                     "inliers=%d", label, res.method,
+                     res.transform.ty, res.transform.tx, res.inliers)
+        return (r_img, g_img, b_img,
+                (res_g.transform.ty, res_g.transform.tx),
+                (res_b.transform.ty, res_b.transform.tx))
     if g is not None:
         res = align_pair_with_label(ref, g_img, method, rows, cols, "G",
                                     ref_stars=ref_stars)

@@ -48,8 +48,12 @@ def _jx():
     return jax, jnp
 
 
-def _device_time_ms(make_call, K=6, trials=2):
-    """Best per-call latency over pipelined K-batches, single fetch."""
+def _device_time_ms(make_call, K=6, trials=3):
+    """Best per-call latency over pipelined K-batches, single fetch.
+    Best-of-3 trials by default: single-trial device numbers on the
+    shared 1-core lab box inflate 5-10x under contention (the r3
+    stf-drift incident), so every device_ms row gets the same
+    discipline as the headline."""
     jax, jnp = _jx()
     reduce_all = jax.jit(lambda *xs: sum(xs))
     _ = float(make_call(0))  # warm/compile
@@ -719,7 +723,7 @@ def bench_affine_per_target(h=5655, w=2206, n_stars=90):
     import math
 
     jax, jnp = _jx()
-    from astroburst_tpu.alignment.fused_chain import (align_and_warp,
+    from astroburst_tpu.alignment.fused_chain import (align_and_warp_many,
                                                       detect_ref_stars)
 
     base = _star_field(h, w, n_stars, seed=8, amp=5000.0, fwhm=3.0,
@@ -744,12 +748,9 @@ def bench_affine_per_target(h=5655, w=2206, n_stars=90):
 
     def run():
         rs = detect_ref_stars(ref_d)
-        ok = True
-        for t in tgt_ds:
-            warped, res = align_and_warp(ref_d, t, ref_stars=rs)
-            warped.block_until_ready()
-            ok = ok and res.method in ("affine", "rigid")
-        return ok
+        outs = align_and_warp_many(ref_d, tgt_ds, ref_stars=rs)
+        outs[-1][0].block_until_ready()
+        return all(r.method in ("affine", "rigid") for _, r in outs)
 
     ok = run()  # compile
     best = 1e9
@@ -757,7 +758,35 @@ def bench_affine_per_target(h=5655, w=2206, n_stars=90):
         t0 = time.perf_counter()
         ok = run()
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3 / len(tgt_ds), ok
+
+    # device-only latency of the batched two-target program (K-batched,
+    # checksums reduced on device, one fetch) — mirrors the headline's
+    # measurement discipline so the ~40 ms/launch tunnel artifact is
+    # separable from real compute in the recorded row
+    import math as _math
+    from astroburst_tpu.alignment import fused_chain as FC
+    from astroburst_tpu.alignment.warp_shear import _bucket
+    rs = detect_ref_stars(ref_d)
+    tile = min(max(min(h, w) // 8, 32), 256)
+    env = 0.035
+    span_v = env * (w - 1)
+    span_h = env * (h - 1)
+    m_v = _bucket(int(span_v) + 4)
+    m_h = _bucket(int(span_h) + 4)
+    nb_v = max(int(span_v) + 1, 1).bit_length()
+    nb_h = max(int(span_h) + 1, 1).bit_length()
+    tgts_stacked = jnp.stack(tgt_ds)
+
+    def dev_call(i):
+        warped, infos = FC._fused_align_warp_many(
+            rs.xs, rs.ys, rs.n, rs.ratios_t, rs.verts_t,
+            tgts_stacked + _eps(i), tile, rs.max_peaks,
+            m_v, m_h, nb_v, nb_h, False)
+        return jnp.sum(infos) + warped[0, 0, 0] + warped[1, 0, 0]
+
+    dev_ms = _device_time_ms(dev_call, K=4)
+    n = len(tgt_ds)
+    return best * 1e3 / n, dev_ms / n, ok
 
 
 def run_all():
@@ -825,9 +854,11 @@ def run_all():
         _affine)
 
     def _affine_per_target():
-        ms, ok = bench_affine_per_target()
-        return {"ms": round(ms, 1), "ref_ms": 800.0, "recovered": ok,
-                "note": "G,B→R with one shared RefStars detection"}
+        ms, dev_ms, ok = bench_affine_per_target()
+        return {"ms": round(ms, 1), "device_ms": round(dev_ms, 1),
+                "ref_ms": 800.0, "recovered": ok,
+                "note": "G,B→R in ONE device program with one shared "
+                        "RefStars detection and one info fetch"}
     row("affine_align_per_target", "affine align per target (RefStars ×2)",
         _affine_per_target)
 

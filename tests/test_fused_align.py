@@ -242,3 +242,35 @@ def test_ransac_device_matches_host(method):
                                atol=5e-4)
     np.testing.assert_allclose(got[[2, 5]], want[[2, 5]], atol=0.25)
     assert int(inl) == host.inliers
+
+
+@pytest.mark.slow
+def test_align_and_warp_many_matches_per_target():
+    """One-program multi-target chain == per-target fused chain
+    (blend.rs:226 workload: G and B aligned to a shared R)."""
+    img = make_star_field(seed=5)
+    t1 = A.AffineTransform(tx=4.0, ty=-3.0)
+    t2 = A.AffineTransform(tx=-2.0, ty=5.0)
+    tg1 = np.asarray(A.warp_image(img, invert(t1), 256, 256))
+    tg2 = np.asarray(A.warp_image(img, invert(t2), 256, 256))
+
+    stars = FC.detect_ref_stars(img)
+    singles = [FC.align_and_warp(img, t, ref_stars=stars)
+               for t in (tg1, tg2)]
+    many = FC.align_and_warp_many(img, [tg1, tg2], ref_stars=stars)
+    assert len(many) == 2
+    for (w_m, r_m), (w_s, r_s) in zip(many, singles):
+        assert r_m.method == r_s.method
+        assert r_m.inliers == r_s.inliers
+        assert r_m.transform.as_tuple() == r_s.transform.as_tuple()
+        np.testing.assert_array_equal(np.asarray(w_m), np.asarray(w_s))
+
+
+def test_align_and_warp_many_shape_fallback():
+    """Mismatched target shapes route through the per-target path."""
+    img = make_star_field(seed=5)
+    small = np.asarray(img)[:128, :128]
+    out = FC.align_and_warp_many(img, [small])
+    assert len(out) == 1
+    warped, res = out[0]
+    assert warped.shape == img.shape or warped.shape == small.shape
