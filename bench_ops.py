@@ -360,7 +360,8 @@ def bench_affine_align(h=5655, w=2206, n_stars=90):
     return best * 1e3, dev_ms, res.method, ok
 
 
-def bench_drizzle(kernel_name: str = "square", band_rows: int = 1024):
+def bench_drizzle(kernel_name: str = "square", band_rows: int = 1024,
+                  with_split: bool = False):
     # band_rows=1024 measured 188.7 ms vs 334.1 at 128 (the lax.map
     # band scan's serialization was ~45% of the runtime; candidate
     # memory at 1024 rows = 40×1024×8320×4 ≈ 1.4 GB, comfortably HBM)
@@ -390,7 +391,58 @@ def bench_drizzle(kernel_name: str = "square", band_rows: int = 1024):
         return img[0, 0] + img[-1, -1] + wgt[100, 100] + \
             rej.astype(jnp.float32)
 
-    return _device_time_ms(call, K=2, trials=2)
+    total_ms = _device_time_ms(call, K=2, trials=2)
+    if not with_split:
+        return total_ms, None, None
+
+    # stage split (VERDICT r4 #6): candidate build vs Pallas finalize,
+    # each K-batched on one band and scaled by the band count
+    from astroburst_tpu.stacking.drizzle import _frame_candidates_raw
+    from astroburst_tpu.stacking.drizzle_kernel import (
+        drizzle_finalize_fused)
+    n = stack.shape[0]
+    n_bands = 8192 // band_rows
+
+    @jax.jit
+    def build_band(s, eps):
+        parts = [_frame_candidates_raw(
+            s[k] + eps, d_ys[k], d_xs[k], 2.0, 0.7, kern,
+            band_rows, 8192) for k in range(n)]
+        cand_v = jnp.concatenate([p[0] for p in parts], axis=0)
+        wys = jnp.concatenate([p[1] for p in parts], axis=0)
+        wxs = jnp.concatenate([p[2] for p in parts], axis=0)
+        return jnp.sum(cand_v[:, 0, :]) + jnp.sum(wys) + jnp.sum(wxs)
+
+    build_ms = _device_time_ms(
+        lambda i: build_band(stack, _eps(i)), K=4) * n_bands
+
+    from astroburst_tpu.stacking.drizzle import _support_taps
+    taps, _base = _support_taps(2.0, 0.7 * 2.0 * 0.5, kern, exact=True)
+
+    @jax.jit
+    def build_only(s):
+        parts = [_frame_candidates_raw(
+            s[k], d_ys[k], d_xs[k], 2.0, 0.7, kern,
+            band_rows, 8192) for k in range(n)]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0),
+                jnp.concatenate([p[2] for p in parts], axis=0))
+
+    cand_v, wys, wxs = build_only(stack)
+    jax.block_until_ready((cand_v, wys, wxs))
+    cap = max(n * 2, 4)
+
+    @jax.jit
+    def fin(cv, wy, wx, eps):
+        img, wgt, rej = drizzle_finalize_fused(
+            cv + eps, wy.T, wx, n, taps, taps, cap, 3.0, 3.0, 5,
+            block_w=512)
+        return img[0, 0] + img[-1, -1] + wgt[100, 100] + \
+            jnp.sum(rej[0, :8])
+
+    fin_ms = _device_time_ms(
+        lambda i: fin(cand_v, wys, wxs, _eps(i)), K=4) * n_bands
+    return total_ms, build_ms, fin_ms
 
 
 def bench_rl_deconv(fast: bool = False):
@@ -789,6 +841,39 @@ def bench_affine_per_target(h=5655, w=2206, n_stars=90):
     return best * 1e3 / n, dev_ms / n, ok
 
 
+def bench_sharded_mosaic_1x1(n=12, h=1024, w=1024):
+    """VERDICT r4 #4: the shard_map + COMPILED Mosaic composition has
+    to execute somewhere real before multi-chip hardware exists — a
+    1-frames x 1-rows mesh on the single v5e runs the sharded one-pass
+    Pallas path (parallel/pipeline.make_sharded_stack_step with
+    interpret=False) and checks parity against the unsharded headline
+    path. Returns (device_ms, max_abs_diff)."""
+    jax, jnp = _jx()
+    from jax.sharding import Mesh
+
+    from astroburst_tpu.parallel.pipeline import (align_stack_stretch,
+                                                  make_sharded_stack_step)
+
+    rng = np.random.default_rng(3)
+    stack = jnp.asarray(rng.normal(0.3, 0.05, (n, h, w))
+                        .astype(np.float32) + _SALT)
+    jax.block_until_ready(stack)
+    devs = np.array(jax.devices()[:1]).reshape(1, 1)
+    mesh = Mesh(devs, ("frames", "rows"))
+    step = make_sharded_stack_step(mesh, use_pallas=True, interpret=False)
+    comb = np.asarray(step(stack)["combined"])
+    comb_ref = np.asarray(align_stack_stretch(stack, use_pallas=True)
+                          ["combined"])
+    diff = float(np.max(np.abs(comb - comb_ref)))
+
+    def call(i):
+        r = step(stack + _eps(i))
+        return jnp.sum(r["combined"]) + r["stf"][0]
+
+    dev_ms = _device_time_ms(call, K=4)
+    return dev_ms, diff
+
+
 def run_all():
     """Every published reference row. Each row is guarded: a failure
     (e.g. a TPU tunnel drop mid-table) records an error entry and the
@@ -891,13 +976,16 @@ def run_all():
         lambda: {"ms": round(bench_sigma_clip_stack(), 1),
                  "ref_ms": 2100.0})
 
-    row("drizzle_10x4096_2x", "drizzle 10×4096² 2×", lambda: {
-        "ms": round(bench_drizzle(), 0), "ref_ms": 4200.0})
+    def _drizzle_sq():
+        total, build, fin = bench_drizzle(with_split=True)
+        return {"ms": round(total, 0), "ref_ms": 4200.0,
+                "build_ms": round(build, 0), "finalize_ms": round(fin, 0)}
+    row("drizzle_10x4096_2x", "drizzle 10×4096² 2×", _drizzle_sq)
     row("drizzle_gaussian_10x4096_2x", "drizzle gaussian 10×4096² 2×",
-        lambda: {"ms": round(bench_drizzle("gaussian"), 0),
+        lambda: {"ms": round(bench_drizzle("gaussian")[0], 0),
                  "ref_ms": None})
     row("drizzle_lanczos3_10x4096_2x", "drizzle lanczos3 10×4096² 2×",
-        lambda: {"ms": round(bench_drizzle("lanczos3"), 0),
+        lambda: {"ms": round(bench_drizzle("lanczos3")[0], 0),
                  "ref_ms": None})
 
     def _wavelet():
@@ -920,6 +1008,16 @@ def run_all():
                 "max_rel_err_vs_f32": float(f"{rel:.2e}")}
     row("rl_deconv_2048_x20_fast",
         "RL deconvolution 2048²×20 fast_precision", _rl_fast)
+
+    def _sharded_1x1():
+        dev_ms, diff = bench_sharded_mosaic_1x1()
+        return {"device_ms": round(dev_ms, 2),
+                "max_abs_diff_vs_unsharded": float(f"{diff:.2e}"),
+                "ref_ms": None,
+                "note": "shard_map + compiled Mosaic on a real-chip "
+                        "1x1 mesh (12x1024²)"}
+    row("sharded_stack_1x1_mesh", "sharded stack, compiled Mosaic 1x1",
+        _sharded_1x1)
 
     def _export():
         ms, mb, where = bench_fits_rgb_export()
