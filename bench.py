@@ -174,14 +174,21 @@ def main():
         out = align_stack_stretch(s, sigma_low=3.0, sigma_high=3.0,
                                   max_iter=5, align=True,
                                   true_shape=(H, W))
-        return {**out, "salt": out["stf"][0] + eps}
+        # checksum INSIDE the program: one dispatch per run instead of
+        # pipeline + a separate checksum jit (each axon dispatch costs
+        # ~3 ms of host issue; the r5 prefix profile measured the
+        # folded form) — eps flows only into the checksum, never the
+        # pipeline inputs (a `s + eps` copy cost ~2-3 ms/run in r3)
+        cs = (out["stf"][0] + eps + out["rejected"].astype(jnp.float32)
+              + out["preview"][0, 0].astype(jnp.float32))
+        return cs, out
 
     fn = jax.jit(run_once)
 
     log("compiling…")
     t0 = time.perf_counter()
-    out = fn(stack, jnp.float32(0.0))
-    _ = float(out["stf"][0]) + float(out["rejected"])
+    _cs0, out = fn(stack, jnp.float32(0.0))
+    _ = float(_cs0)
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
     log(f"offsets: {np.asarray(out['offsets'])[:4].tolist()}")
     log(f"rejected: {int(out['rejected'])}, stf: {np.asarray(out['stf'])}")
@@ -192,17 +199,13 @@ def main():
     # ~31 ms RTT and fetches serialize, so per-run fetches would
     # measure the tunnel, not the chip. A production ingest loop syncs
     # once per batch exactly like this.
-    checksum = jax.jit(lambda o: o["salt"]
-                       + o["rejected"].astype(jnp.float32)
-                       + o["preview"][0, 0].astype(jnp.float32))
     reduce_all = jax.jit(lambda *xs: sum(xs))
-    _ = float(reduce_all(checksum(out)))
 
     K = 12
     times = []
     for trial in range(3):
         t0 = time.perf_counter()
-        cs = [checksum(fn(stack, jnp.float32(_SALT + (trial * K + i + 1) * 1e-6)))
+        cs = [fn(stack, jnp.float32(_SALT + (trial * K + i + 1) * 1e-6))[0]
               for i in range(K)]
         _ = float(reduce_all(*cs))
         times.append((time.perf_counter() - t0) / K)
