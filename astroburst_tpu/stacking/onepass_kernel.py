@@ -327,11 +327,17 @@ def pad_stack_aligned(stack: jax.Array, block_h: int = BLOCK_H,
     """Pad [N, H, W] to the aligned layout the one-pass kernel reads.
 
     Do this once at ingest (host-side it is free during H2D); the
-    padding content is never read into results.
+    padding content is never read into results. The row pad includes
+    the rolling-ring kernel's fetch-schedule margin (~1% extra rows,
+    stacking/rolling_kernel.py) so the dispatcher can take that path.
     """
+    from astroburst_tpu.stacking.rolling_kernel import (
+        BLOCK_H as RBH, pad_rows_rolling)
     n, h, w = stack.shape
     f_r, f_c = window_dims(block_h, block_w, off_max)
-    hp = max(_ceil_to(h, 8), f_r)
+    hp = max(_ceil_to(h, 8), f_r,
+             pad_rows_rolling(h, RBH, off_max),
+             pad_rows_rolling(h, RBH, ADAPTIVE_OFF))
     wp = max(_ceil_to(w, 128), f_c)
     if (hp, wp) == (h, w):
         return stack
@@ -357,18 +363,39 @@ ADAPTIVE_BLOCK_W = 384
 @partial(jax.jit,
          static_argnames=("h", "w", "sigma_low", "sigma_high", "max_iter",
                           "off_max", "interpret", "block_h", "block_w",
-                          "zero_frames", "adaptive_ok"))
+                          "zero_frames", "adaptive_ok", "rolling_ok"))
 def _onepass_dispatch(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
                       h: int, w: int, sigma_low: float, sigma_high: float,
                       max_iter: int, off_max: int, interpret: bool,
                       block_h: int, block_w: int,
-                      zero_frames: tuple | None, adaptive_ok: bool):
+                      zero_frames: tuple | None, adaptive_ok: bool,
+                      rolling_ok: bool = False):
     """Module-level jit around the adaptive ``lax.cond`` dispatch.
 
     MUST stay a cached top-level jit: an eager caller that rebuilt
     this cond per call re-traced a fresh program each time, and the
     remote-compile hop turned a 17 ms stack into ~10.5 s/call
-    (round-4 bench regression). Under an outer jit it inlines."""
+    (round-4 bench regression). Under an outer jit it inlines.
+
+    ``rolling_ok`` routes to the rolling-ring kernel
+    (stacking/rolling_kernel.py — read amplification ~1.28x vs
+    2.38x/3.5x) when the caller's pad satisfies its fetch schedule."""
+    if rolling_ok:
+        from astroburst_tpu.stacking.rolling_kernel import (
+            shift_clip_rolling_padded)
+        run_roll = partial(shift_clip_rolling_padded, h=h, w=w,
+                           sigma_low=sigma_low, sigma_high=sigma_high,
+                           max_iter=max_iter, interpret=interpret,
+                           zero_frames=zero_frames)
+        if adaptive_ok:
+            small = (jnp.max(jnp.maximum(jnp.abs(dys), jnp.abs(dxs)))
+                     <= float(ADAPTIVE_OFF))
+            return jax.lax.cond(
+                small,
+                lambda s, a, b: run_roll(s, a, b, off_max=ADAPTIVE_OFF),
+                lambda s, a, b: run_roll(s, a, b, off_max=off_max),
+                stack, dys, dxs)
+        return run_roll(stack, dys, dxs, off_max=off_max)
     run = partial(_shift_clip_onepass_padded, h=h, w=w,
                   sigma_low=sigma_low, sigma_high=sigma_high,
                   max_iter=max_iter, interpret=interpret,
@@ -441,9 +468,22 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
         adaptive and off_max > ADAPTIVE_OFF
         and window_dims(block_h, block_w, ADAPTIVE_OFF)[0] <= hp
         and window_dims(block_h, block_w, ADAPTIVE_OFF)[1] <= wp)
+    # rolling-ring path: needs the bigger row pad (its fetch schedule
+    # reads slightly past the image) and a wide-enough column pad; only
+    # when the caller keeps the default blocks (explicit block sizes
+    # mean the caller is steering the shared-window kernel)
+    from astroburst_tpu.stacking import rolling_kernel as RK
+    offs = {off_max} | ({ADAPTIVE_OFF} if adaptive_ok else set())
+    rolling_ok = bool(
+        (block_h, block_w) == (BLOCK_H, BLOCK_W)
+        and stack.shape[0] <= MAX_FRAMES
+        and all(hp >= RK.pad_rows_rolling(h, RK.BLOCK_H, o)
+                and wp >= RK.ring_dims(RK.BLOCK_H, RK.BLOCK_W, o)[1]
+                for o in offs))
     return _onepass_dispatch(stack, dys, dxs, h, w, sigma_low, sigma_high,
                              max_iter, off_max, interpret, block_h,
-                             block_w, zero_frames, adaptive_ok)
+                             block_w, zero_frames, adaptive_ok,
+                             rolling_ok)
 
 
 def shift_clip_onepass_slab(slab: jax.Array, dys: jax.Array,
