@@ -99,14 +99,41 @@ def _quadratic(prev, center, nxt):
     return jnp.clip(off, -0.5, 0.5)
 
 
+def _peak_stats(corr):
+    """(argmax idx, peak, sum, sumsq) in ONE variadic ``lax.reduce``
+    pass over the surface — separate argmax + peak gather + mean +
+    centered-variance reductions cost four full passes and a dependent
+    round trip each at 512²×15 (the refine stage's latency soup).
+    Ties resolve to the lowest flat index, matching ``jnp.argmax``."""
+    r, c = corr.shape[-2], corr.shape[-1]
+    flat = corr.reshape(*corr.shape[:-2], r * c)
+    idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, flat.ndim - 1)
+    mv, mi, s, s2 = jax.lax.reduce(
+        (flat, idx, flat, flat * flat),
+        (jnp.float32(-jnp.inf), jnp.int32(2 ** 31 - 1), jnp.float32(0.0),
+         jnp.float32(0.0)),
+        lambda a, b: (
+            jnp.maximum(a[0], b[0]),
+            jnp.where((b[0] > a[0]) | ((b[0] == a[0]) & (b[1] < a[1])),
+                      b[1], a[1]),
+            a[2] + b[2],
+            a[3] + b[3]),
+        (flat.ndim - 1,))
+    return mi, mv, s, s2
+
+
 def _corr_to_shift(corr, fft_rows: int, fft_cols: int):
     """Peak + SNR confidence + circular unwrap + quadratic subpixel
-    from a correlation surface (subpixel.rs:18-64)."""
-    py, px, peak_val = F.find_peak(corr)
+    from a correlation surface (subpixel.rs:18-64). The variance uses
+    the one-pass sum/sumsq form — (peak − mean)/σ only gates
+    acceptance, and the surface's near-zero mean keeps the
+    cancellation error far below the gate's resolution."""
+    cols = fft_cols
+    idx, peak_val, s, s2 = _peak_stats(corr)
+    py, px = idx // cols, idx % cols
     n = fft_rows * fft_cols
-    mean = jnp.sum(corr, axis=(-2, -1)) / n
-    var = jnp.sum((corr - mean[..., None, None]) ** 2, axis=(-2, -1)) / max(
-        n - 1, 1)
+    mean = s / n
+    var = jnp.maximum(s2 - s * mean, 0.0) / max(n - 1, 1)
     sigma = jnp.sqrt(var)
     confidence = jnp.where(jnp.abs(sigma) < 1e-15, 0.0,
                            (peak_val - mean) / jnp.maximum(sigma, 1e-30))

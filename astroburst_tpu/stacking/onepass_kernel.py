@@ -431,7 +431,7 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
                        interpret: bool = False, block_h: int = BLOCK_H,
                        block_w: int = BLOCK_W,
                        zero_frames: tuple | None = None,
-                       adaptive: bool = True):
+                       adaptive: bool = True, rolling: bool = False):
     """Shift each frame by (dys[k], dxs[k]) bicubically, then sigma-clip
     combine, in ONE pass over the stack. Returns (combined [h, w],
     rejected scalar i32).
@@ -468,14 +468,16 @@ def shift_clip_onepass(stack: jax.Array, dys: jax.Array, dxs: jax.Array,
         adaptive and off_max > ADAPTIVE_OFF
         and window_dims(block_h, block_w, ADAPTIVE_OFF)[0] <= hp
         and window_dims(block_h, block_w, ADAPTIVE_OFF)[1] <= wp)
-    # rolling-ring path: needs the bigger row pad (its fetch schedule
-    # reads slightly past the image) and a wide-enough column pad; only
-    # when the caller keeps the default blocks (explicit block sizes
-    # mean the caller is steering the shared-window kernel)
+    # rolling-ring path (stacking/rolling_kernel.py): cuts HBM read
+    # amplification 2.38x -> ~1.28x but the full-ring extraction rolls
+    # cost MORE VPU than the DMA saved — measured 13.17 vs 11.83 ms at
+    # the bench stack (the kernel is roll/VPU-bound, not DMA-bound).
+    # Opt-in only; needs the bigger row pad and a wide column pad.
     from astroburst_tpu.stacking import rolling_kernel as RK
     offs = {off_max} | ({ADAPTIVE_OFF} if adaptive_ok else set())
     rolling_ok = bool(
-        (block_h, block_w) == (BLOCK_H, BLOCK_W)
+        rolling
+        and (block_h, block_w) == (BLOCK_H, BLOCK_W)
         and stack.shape[0] <= MAX_FRAMES
         and all(hp >= RK.pad_rows_rolling(h, RK.BLOCK_H, o)
                 and wp >= RK.ring_dims(RK.BLOCK_H, RK.BLOCK_W, o)[1]

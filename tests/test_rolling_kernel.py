@@ -104,5 +104,5 @@ def test_dispatcher_routes_to_rolling(rng):
     ref, ref_rej = _oracle(s, dys, dxs, 3.0, 3.0, 5)
     got, got_rej = shift_clip_onepass(
         padded, jnp.asarray(dys), jnp.asarray(dxs), 3.0, 3.0, 5,
-        true_shape=(h, w), interpret=True)
+        true_shape=(h, w), interpret=True, rolling=True)
     _assert_close(got, ref, got_rej, ref_rej)
