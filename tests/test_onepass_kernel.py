@@ -281,3 +281,24 @@ def test_adaptive_wide_block_branch_matches():
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cw))
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cd))
     assert int(ra) == int(rw) == int(rd)
+
+
+@pytest.mark.parametrize("bh,bw", [(32, 1024), (40, 1024), (32, 1152)])
+def test_wide_short_block_geometries_match(rng, bh, bw):
+    """Round-5 sweep candidates: wide, short blocks cut the one-pass
+    kernel's HBM fetch amplification (the ~256-lane column halo is
+    pure alignment cost, so it amortizes over wider blocks: 2.38x at
+    56x384 -> 2.00-2.19x here) and fetch contiguous chunks 2-2.2x
+    longer. Parity vs the default geometry must be exact — the block
+    split never changes tap or clip semantics."""
+    s = jnp.asarray(_stack(rng, n=4, h=150, w=1400, nan_frac=0.01))
+    dys = jnp.asarray(rng.uniform(-6, 6, 4), jnp.float32)
+    dxs = jnp.asarray(rng.uniform(-6, 6, 4), jnp.float32)
+    ref, ref_rej = shift_clip_onepass(s, dys, dxs, 3.0, 3.0, 3,
+                                      off_max=6, interpret=True,
+                                      adaptive=False)
+    got, got_rej = shift_clip_onepass(s, dys, dxs, 3.0, 3.0, 3,
+                                      off_max=6, block_h=bh, block_w=bw,
+                                      interpret=True, adaptive=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(got_rej) == int(ref_rej)
