@@ -416,6 +416,90 @@ def _phase_correlate_stack_impl(ref, targets, crop_mode: str):
             jnp.where(bad, zero, rconf))
 
 
+def phase_correlate_stack_padded(stack, true_shape: tuple,
+                                 crop_mode: str = "auto",
+                                 interpret: bool = False):
+    """Coarse-to-fine phase correlation of frames 1..N-1 of a PADDED
+    [N, Hp, Wp] stack against frame 0, without ever materializing the
+    `stack[:, :h, :w]` view: the coarse box mean runs as a blockwise
+    Pallas kernel straight off the padded buffer
+    (alignment/coarse_kernel.py — one 800 MB HBM pass instead of the
+    matmul path's pass + intermediate + the ~750 MB view copy XLA
+    makes for non-fusing consumers), and the refine crops DMA from the
+    padded buffer with a frame offset. Returns (dys, dxs, confs) of
+    length N-1, identical semantics to
+    ``phase_correlate_stack_traced(stack[0,:h,:w], stack[1:,:h,:w])``
+    up to the coarse pass's bf16 input rounding (same product class as
+    the matmul path's DEFAULT precision; the coarse surface only seeds
+    the nearest-(8,128) refine crop origins).
+    """
+    if crop_mode == "auto":
+        crop_mode = ("dma" if jax.default_backend() == "tpu"
+                     else "slice")
+    from astroburst_tpu.alignment.coarse_kernel import plan
+    n, hp, wp = stack.shape
+    h, w = true_shape
+    use_pallas_coarse = ((h > COARSE_MAX_DIM or w > COARSE_MAX_DIM)
+                         and plan(n, hp, wp, h, w, COARSE_MAX_DIM)
+                         is not None)
+    return _phase_correlate_stack_padded_impl(
+        stack, true_shape, crop_mode, use_pallas_coarse, interpret)
+
+
+@partial(jax.jit, static_argnames=("true_shape", "crop_mode",
+                                   "use_pallas_coarse", "interpret"))
+def _phase_correlate_stack_padded_impl(stack, true_shape, crop_mode,
+                                       use_pallas_coarse, interpret):
+    n1 = stack.shape[0]
+    rows, cols = true_shape
+    view = stack[:, :rows, :cols]   # fuses into reductions/windowing
+    if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
+        return _phase_correlate_stack_impl(view[0], view[1:], "slice")
+
+    if use_pallas_coarse:
+        from astroburst_tpu.alignment.coarse_kernel import (
+            coarse_downsample_stack)
+        ds_all, by, bx = coarse_downsample_stack(
+            stack, true_shape, COARSE_MAX_DIM, interpret=interpret)
+        ref_ds, tgt_ds = ds_all[0], ds_all[1:]
+    else:
+        ref_ds, by, bx = _coarse_box_downsample(view[0], COARSE_MAX_DIM)
+        tgt_ds, _, _ = _coarse_box_downsample(view[1:], COARSE_MAX_DIM)
+    cdy, cdx, _ = correlate_single(ref_ds, tgt_ds)
+
+    ref_cy = rows // 2
+    ref_cx = cols // 2
+    tgt_cy = jnp.clip(jnp.round(ref_cy + cdy * by), 0,
+                      rows - 1).astype(jnp.int32)
+    tgt_cx = jnp.clip(jnp.round(ref_cx + cdx * bx), 0,
+                      cols - 1).astype(jnp.int32)
+    tgt_y0, tgt_x0 = _refine_origin(tgt_cy, tgt_cx, rows, cols,
+                                    REFINE_CROP_SIZE)
+    s_r = min(REFINE_CROP_SIZE, rows)
+    s_c = min(REFINE_CROP_SIZE, cols)
+    if crop_mode != "slice" and s_r % 8 == 0 and s_c % 128 == 0:
+        from astroburst_tpu.ops.crop_kernel import gather_crops
+        crops = gather_crops(stack, tgt_y0, tgt_x0, s_r, s_c,
+                             interpret=(crop_mode == "interpret"
+                                        or interpret),
+                             frame0=1)
+    else:
+        crops = jnp.concatenate([
+            jax.lax.dynamic_slice(view, (jnp.int32(k + 1), tgt_y0[k],
+                                         tgt_x0[k]), (1, s_r, s_c))
+            for k in range(n1 - 1)])
+    ref_crop = _centered_crop_static(view[0], REFINE_CROP_SIZE)
+    ref_y0, ref_x0 = _crop_origin_static(rows, cols, REFINE_CROP_SIZE)
+    rdy, rdx, rconf = correlate_single(ref_crop, crops)
+    dy = (tgt_y0 - ref_y0).astype(jnp.float32) + rdy
+    dx = (tgt_x0 - ref_x0).astype(jnp.float32) + rdx
+
+    bad = _is_constant_or_zero(view[0]) | _is_constant_or_zero(view[1:])
+    zero = jnp.zeros_like(dy)
+    return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
+            jnp.where(bad, zero, rconf))
+
+
 def _refine_one(tgt, coarse_dy, coarse_dx, rows, cols):
     """Clamped dynamic refine crop + origin bookkeeping for one target."""
     ref_cy = rows // 2

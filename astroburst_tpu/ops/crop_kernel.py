@@ -31,33 +31,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(n: int):
+def _make_kernel(n: int, frame0: int):
     def kernel(y0_ref, x0_ref, stack_hbm, out_ref, sem):
         k = pl.program_id(0)
         y0 = pl.multiple_of(y0_ref[k], 8)
         x0 = pl.multiple_of(x0_ref[k], 128)
         size_r = out_ref.shape[1]
         size_c = out_ref.shape[2]
-        src = stack_hbm.at[k, pl.ds(y0, size_r), pl.ds(x0, size_c)]
+        src = stack_hbm.at[k + frame0, pl.ds(y0, size_r), pl.ds(x0, size_c)]
         pltpu.make_async_copy(src, out_ref.at[0], sem).start()
         pltpu.make_async_copy(src, out_ref.at[0], sem).wait()
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("size_r", "size_c", "interpret"))
+@partial(jax.jit, static_argnames=("size_r", "size_c", "interpret",
+                                   "frame0", "n_crops"))
 def gather_crops(stack: jax.Array, y0s: jax.Array, x0s: jax.Array,
                  size_r: int, size_c: int,
-                 interpret: bool = False) -> jax.Array:
-    """[N, size_r, size_c] crops of ``stack`` [N, H, W] at per-frame
-    origins (y0s[k], x0s[k]).
+                 interpret: bool = False, frame0: int = 0,
+                 n_crops: int | None = None) -> jax.Array:
+    """[n_crops, size_r, size_c] crops of ``stack`` [N, H, W], crop k
+    from frame ``frame0 + k`` at origin (y0s[k], x0s[k]).
 
     Origins must be in-range ([0, H - size_r] × [0, W - size_c]) and
     (8, 128)-aligned — ``_refine_origin`` guarantees both. ``size_r``
     must be a multiple of 8 and ``size_c`` of 128 (DMA slice shapes are
     tile-aligned); callers with ragged sizes use the XLA path.
+    ``frame0`` lets the padded-stack align path crop targets straight
+    out of the ingest-padded buffer — a `stack[1:]` slice operand here
+    would make XLA materialize a full copy of the view.
     """
     n, h, w = stack.shape
+    if n_crops is None:
+        n = n - frame0
+    else:
+        n = n_crops
     if size_r % 8 or size_c % 128:
         raise ValueError(f"crop size must be (8,128)-aligned, got "
                          f"({size_r},{size_c})")
@@ -75,7 +84,7 @@ def gather_crops(stack: jax.Array, y0s: jax.Array, x0s: jax.Array,
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
-        _make_kernel(n),
+        _make_kernel(n, frame0),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, size_r, size_c), stack.dtype),
         interpret=interpret,

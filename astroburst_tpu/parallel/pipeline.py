@@ -67,7 +67,18 @@ def align_stack_stretch(stack: jax.Array, sigma_low: float = 3.0,
         # gather — 4.3 ms of the 5.9 ms refine at 15×16 Mpx. (rfft
         # pair packing stays out: measured SLOWER here, 25.0 vs
         # 15.3 ms — the stage is dispatch/memory-bound.)
-        dys1, dxs1, confs1 = phase_correlate_stack_traced(ref, view[1:])
+        if true_shape is not None and use_pallas is True:
+            # padded-stack path: Pallas blockwise coarse box mean +
+            # frame-offset crop DMAs off the padded buffer — no
+            # materialized view copy, no [N, H, ds_c] intermediate
+            # (alignment/coarse_kernel.py)
+            from astroburst_tpu.alignment.phase_correlation import (
+                phase_correlate_stack_padded)
+            dys1, dxs1, confs1 = phase_correlate_stack_padded(
+                stack, true_shape, interpret=interpret)
+        else:
+            dys1, dxs1, confs1 = phase_correlate_stack_traced(
+                ref, view[1:])
         dys = jnp.concatenate([jnp.zeros(1, jnp.float32), dys1])
         dxs = jnp.concatenate([jnp.zeros(1, jnp.float32), dxs1])
         confs = jnp.concatenate([jnp.zeros(1, jnp.float32), confs1])

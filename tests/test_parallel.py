@@ -340,3 +340,38 @@ def test_sharded_drizzle_matches_single(rng):
     np.testing.assert_allclose(np.asarray(wgt), np.asarray(ref_wgt),
                                atol=1e-5)
     assert int(rej) == int(ref_rej)
+
+
+@pytest.mark.slow
+def test_padded_pipeline_matches_unpadded(rng):
+    """align_stack_stretch on an ingest-padded stack (true_shape +
+    use_pallas, the headline TPU configuration, interpret mode) ==
+    the unpadded XLA path: the padded branch swaps in the Pallas
+    coarse box mean + frame-offset crop DMAs (coarse_kernel.py), which
+    must not move the recovered offsets or the combined plane."""
+    h, w = 640, 1152
+    base = rng.normal(100, 3, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for sy, sx in [(100, 200), (400, 800), (300, 500), (520, 950)]:
+        base += 900.0 * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 8.0)
+    frames = np.stack([base] + [
+        np.roll(np.roll(base, dy, 0), dx, 1)
+        for dy, dx in [(3, -5), (-7, 11), (0, 0)]])
+    stack = jnp.asarray(frames)
+
+    from astroburst_tpu.stacking.onepass_kernel import pad_stack_aligned
+    padded = pad_stack_aligned(stack)
+    got = jax.jit(lambda s: align_stack_stretch(
+        s, max_iter=2, use_pallas=True, true_shape=(h, w),
+        interpret=True))(padded)
+    want = jax.jit(lambda s: align_stack_stretch(
+        s, max_iter=2, use_pallas=False))(stack)
+
+    np.testing.assert_allclose(np.asarray(got["offsets"]),
+                               np.asarray(want["offsets"]), atol=0.05)
+    # Pallas vs XLA clip: borderline rejections flip with f32 rounding
+    # (same tolerance class as test_onepass_kernel._assert_close)
+    d = np.abs(np.asarray(got["combined"]) - np.asarray(want["combined"]))
+    assert (d > 6e-3).sum() <= 3, f"max |d|={d.max()}"
+    np.testing.assert_allclose(np.asarray(got["stf"]),
+                               np.asarray(want["stf"]), atol=1e-4)

@@ -217,3 +217,89 @@ def test_coarse_large_box_plane_recovers_offsets():
     for i, (sy, sx) in enumerate(shifts):
         assert abs(float(dys[i]) - sy) < 0.35, (i, float(dys[i]), sy)
         assert abs(float(dxs[i]) - sx) < 0.35, (i, float(dxs[i]), sx)
+
+
+def test_coarse_kernel_matches_box_mean(rng):
+    """Pallas blockwise coarse downsample == exact box mean over the
+    true region, to bf16 input rounding (coarse_kernel.py). Shape
+    chosen so the padded grid over-reads past Hp (the NaN-safe row
+    mask) and the col pad carries weight 0."""
+    from astroburst_tpu.alignment.coarse_kernel import (
+        coarse_downsample_stack, plan)
+
+    n, h, w = 3, 850, 1200
+    hp, wp = 856, 1280
+    frames = rng.normal(100, 10, (n, h, w)).astype(np.float32)
+    stack = jnp.zeros((n, hp, wp), jnp.float32).at[:, :h, :w].set(frames)
+    p = plan(n, hp, wp, h, w, 512)
+    assert p is not None and p[-1], "plan should need the row mask here"
+    ds, by, bx = coarse_downsample_stack(stack, (h, w), 512,
+                                         interpret=True)
+    assert (by, bx) == (2, 3)
+    ds_r, ds_c = h // by, w // bx
+    assert ds.shape == (n, ds_r, ds_c)
+    want = frames[:, :ds_r * by, :ds_c * bx].reshape(
+        n, ds_r, by, ds_c, bx).mean(axis=(2, 4))
+    np.testing.assert_allclose(np.asarray(ds), want, rtol=5e-3, atol=0.6)
+
+
+def test_coarse_kernel_plan_rejects_small_and_wide():
+    from astroburst_tpu.alignment.coarse_kernel import plan
+
+    # no downsample needed at all
+    assert plan(2, 256, 256, 250, 250, 512) is None
+    # ds_c below the 128-lane floor (narrow tall plane)
+    assert plan(2, 600, 128, 598, 100, 512) is None
+    # mosaic-wide plane: resident MC alone would blow VMEM
+    assert plan(2, 12800, 25088, 12792, 25000, 512) is None
+
+
+def test_gather_crops_frame_offset(rng):
+    """frame0=k crops target frames straight out of the padded stack
+    (the padded align path's contract)."""
+    from astroburst_tpu.ops.crop_kernel import gather_crops
+
+    stack = jnp.asarray(rng.normal(0, 1, (4, 640, 1024))
+                        .astype(np.float32))
+    y0s = jnp.asarray([8, 64, 0], jnp.int32)
+    x0s = jnp.asarray([128, 0, 256], jnp.int32)
+    got = gather_crops(stack, y0s, x0s, 512, 512, interpret=True,
+                       frame0=1)
+    want = jnp.stack([
+        jax.lax.dynamic_slice(stack[k + 1], (y0s[k], x0s[k]), (512, 512))
+        for k in range(3)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_padded_stack_align_matches_traced(rng):
+    """phase_correlate_stack_padded on an ingest-padded stack recovers
+    the same offsets as the view-based traced path (the coarse bf16
+    rounding only seeds the tile-rounded refine origin, so refine
+    output matches to sub-pixel)."""
+    from astroburst_tpu.alignment.phase_correlation import (
+        phase_correlate_stack_padded, phase_correlate_stack_traced)
+
+    h, w = 640, 1152
+    base = rng.normal(100, 3, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for sy, sx in [(100, 200), (400, 800), (300, 500), (520, 950)]:
+        base += 900.0 * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 8.0)
+    tgts = np.stack([np.roll(np.roll(base, dy, 0), dx, 1)
+                     for dy, dx in [(3, -5), (-7, 11), (0, 0)]])
+    stack = np.concatenate([base[None], tgts])
+    padded = jnp.zeros((4, h + 8, w + 128), jnp.float32)
+    padded = padded.at[:, :h, :w].set(stack)
+
+    a = phase_correlate_stack_traced(jnp.asarray(base), jnp.asarray(tgts),
+                                     crop_mode="slice")
+    b = phase_correlate_stack_padded(padded, (h, w),
+                                     crop_mode="interpret",
+                                     interpret=True)
+    for dy_want, got in zip([3.0, -7.0, 0.0], np.asarray(b[0])):
+        assert got == pytest.approx(dy_want, abs=0.05)
+    for dx_want, got in zip([-5.0, 11.0, 0.0], np.asarray(b[1])):
+        assert got == pytest.approx(dx_want, abs=0.05)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=0.02)
