@@ -93,14 +93,49 @@ def plan(n: int, hp: int, wp: int, h: int, w: int, max_dim: int):
 
 
 def _make_kernel(by: int, ds_r: int, gr: int, rb: int,
-                 need_row_mask: bool, scale: float):
-    def kernel(dummy_ref, img_ref, mc_ref, out_ref):
+                 need_row_mask: bool, scale: float,
+                 stats_hw: tuple | None = None):
+    def kernel(dummy_ref, img_ref, mc_ref, out_ref, *stat_refs):
         del dummy_ref
         i = pl.program_id(1)
         x = img_ref[0]                                    # [RB, Wp] f32
-        if need_row_mask:
+
+        if stats_hw is not None:
+            # fold the per-frame finite-count/min/max of
+            # phase_correlation._is_constant_or_zero into this pass —
+            # the separate fused variadic reduce re-read the full
+            # 750 MB stack (~1.1 ms of the headline align stage)
+            h, w = stats_hw
+            mn_ref, mx_ref, cnt_ref = stat_refs
             rr = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-            x = jnp.where(rr + i * rb < ds_r * by, x, 0.0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            ok = ((rr + i * rb < h) & (cc < w) & jnp.isfinite(x))
+            wp = x.shape[1]
+
+            def fold2(plane, fill, red):
+                p = red(jnp.where(ok, plane, fill)
+                        .reshape(rb // 8, 8, wp), axis=0)
+                return red(p.reshape(8, wp // 128, 128), axis=1)
+
+            mn_b = fold2(x, jnp.inf, jnp.min)
+            mx_b = fold2(x, -jnp.inf, jnp.max)
+            ct_b = fold2(jnp.ones_like(x), 0.0, jnp.sum)
+
+            @pl.when(i == 0)
+            def _init():
+                mn_ref[0] = mn_b
+                mx_ref[0] = mx_b
+                cnt_ref[0] = ct_b
+
+            @pl.when(i > 0)
+            def _acc():
+                mn_ref[0] = jnp.minimum(mn_ref[0], mn_b)
+                mx_ref[0] = jnp.maximum(mx_ref[0], mx_b)
+                cnt_ref[0] = cnt_ref[0] + ct_b
+
+        if need_row_mask:
+            rr2 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            x = jnp.where(rr2 + i * rb < ds_r * by, x, 0.0)
         t = jax.lax.dot_general(
             x.astype(jnp.bfloat16), mc_ref[...],
             (((1,), (0,)), ((), ())),
@@ -115,15 +150,21 @@ def _make_kernel(by: int, ds_r: int, gr: int, rb: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("true_shape", "max_dim", "interpret"))
+@partial(jax.jit, static_argnames=("true_shape", "max_dim", "interpret",
+                                   "with_stats"))
 def coarse_downsample_stack(stack: jax.Array, true_shape: tuple,
-                            max_dim: int, interpret: bool = False):
+                            max_dim: int, interpret: bool = False,
+                            with_stats: bool = False):
     """Box-mean downsample of every frame of a padded [N, Hp, Wp]
     stack to [N, ds_r, ds_c] in one blockwise HBM pass.
 
     ``true_shape=(h, w)`` is the un-padded plane size; the box grid is
     computed from it exactly as `_coarse_box_downsample` does, and
-    padded rows/cols never contribute. Returns (ds, by, bx).
+    padded rows/cols never contribute. Returns (ds, by, bx); with
+    ``with_stats`` additionally (mn, mx, cnt) — per-frame finite
+    min/max/count over the TRUE region (rows<h, cols<w), accumulated
+    as (8, 128) register tiles across blocks and reduced here, so the
+    `_is_constant_or_zero` gate costs no second full-stack read.
     Raises ValueError when `plan` rejects the shape — callers fall
     back to the XLA matmul path.
     """
@@ -134,6 +175,11 @@ def coarse_downsample_stack(stack: jax.Array, true_shape: tuple,
         raise ValueError(f"no VMEM-feasible plan for {stack.shape} "
                          f"true={true_shape} max_dim={max_dim}")
     by, bx, ds_r, ds_c, dcp, gr, rb, nb, need_row_mask = p
+    if with_stats:
+        # stats must see every true row; the coarse groups only span
+        # rows < ds_r·by (up to by-1 rows short of h)
+        nb = max(nb, -(-h // rb))
+        need_row_mask = nb * rb > ds_r * by or need_row_mask
 
     # 0/1 column band matrix, bf16-exact; columns ≥ ds_c*bx (the
     # dropped remainder and the ingest pad) carry weight 0
@@ -142,6 +188,15 @@ def coarse_downsample_stack(stack: jax.Array, true_shape: tuple,
     mc = (((j >= c * bx) & (j < (c + 1) * bx) & (j < ds_c * bx))
           .astype(jnp.bfloat16))
 
+    out_specs = [pl.BlockSpec((1, gr, dcp), lambda fn, i, *_: (fn, i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((n, nb * gr, dcp), jnp.float32)]
+    if with_stats:
+        for _ in range(3):
+            out_specs.append(
+                pl.BlockSpec((1, 8, 128), lambda fn, i, *_: (fn, 0, 0)))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n, 8, 128), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, nb),
@@ -149,13 +204,20 @@ def coarse_downsample_stack(stack: jax.Array, true_shape: tuple,
             pl.BlockSpec((1, rb, wp), lambda fn, i, *_: (fn, i, 0)),
             pl.BlockSpec((wp, dcp), lambda fn, i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, gr, dcp), lambda fn, i, *_: (fn, i, 0)),
+        out_specs=out_specs,
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         _make_kernel(by, ds_r, gr, rb, need_row_mask,
-                     1.0 / float(by * bx)),
+                     1.0 / float(by * bx),
+                     stats_hw=(h, w) if with_stats else None),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, nb * gr, dcp), jnp.float32),
+        out_shape=out_shapes,
         interpret=interpret,
     )(jnp.zeros(1, jnp.int32), stack, mc)
-    return out[:, :ds_r, :ds_c], by, bx
+    ds = res[0][:, :ds_r, :ds_c]
+    if not with_stats:
+        return ds, by, bx
+    mn = jnp.min(res[1], axis=(1, 2))
+    mx = jnp.max(res[2], axis=(1, 2))
+    cnt = jnp.sum(res[3], axis=(1, 2))
+    return ds, by, bx, mn, mx, cnt

@@ -456,12 +456,18 @@ def _phase_correlate_stack_padded_impl(stack, true_shape, crop_mode,
     if rows <= COARSE_MAX_DIM and cols <= COARSE_MAX_DIM:
         return _phase_correlate_stack_impl(view[0], view[1:], "slice")
 
+    bad_each = None
     if use_pallas_coarse:
         from astroburst_tpu.alignment.coarse_kernel import (
             coarse_downsample_stack)
-        ds_all, by, bx = coarse_downsample_stack(
-            stack, true_shape, COARSE_MAX_DIM, interpret=interpret)
+        ds_all, by, bx, mn_f, mx_f, cnt_f = coarse_downsample_stack(
+            stack, true_shape, COARSE_MAX_DIM, interpret=interpret,
+            with_stats=True)
         ref_ds, tgt_ds = ds_all[0], ds_all[1:]
+        # the _is_constant_or_zero gate (phase_correlation.rs:143-161)
+        # from the kernel's folded per-frame stats — no second
+        # full-stack read
+        bad_each = (cnt_f < 16) | (jnp.abs(mx_f - mn_f) < 1e-10)
     else:
         ref_ds, by, bx = _coarse_box_downsample(view[0], COARSE_MAX_DIM)
         tgt_ds, _, _ = _coarse_box_downsample(view[1:], COARSE_MAX_DIM)
@@ -494,7 +500,11 @@ def _phase_correlate_stack_padded_impl(stack, true_shape, crop_mode,
     dy = (tgt_y0 - ref_y0).astype(jnp.float32) + rdy
     dx = (tgt_x0 - ref_x0).astype(jnp.float32) + rdx
 
-    bad = _is_constant_or_zero(view[0]) | _is_constant_or_zero(view[1:])
+    if bad_each is not None:
+        bad = bad_each[0] | bad_each[1:]
+    else:
+        bad = (_is_constant_or_zero(view[0])
+               | _is_constant_or_zero(view[1:]))
     zero = jnp.zeros_like(dy)
     return (jnp.where(bad, zero, dy), jnp.where(bad, zero, dx),
             jnp.where(bad, zero, rconf))

@@ -303,3 +303,67 @@ def test_padded_stack_align_matches_traced(rng):
                                atol=0.02)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
                                atol=0.02)
+
+
+def test_coarse_kernel_folded_stats(rng):
+    """with_stats=True: per-frame finite min/max/count over the TRUE
+    region only (pad rows/cols and NaN excluded), matching the
+    _is_constant_or_zero reduce it replaces."""
+    from astroburst_tpu.alignment.coarse_kernel import (
+        coarse_downsample_stack)
+
+    n, h, w = 3, 850, 1200
+    hp, wp = 856, 1280
+    frames = rng.normal(100, 10, (n, h, w)).astype(np.float32)
+    frames[0, 5, 7] = np.nan
+    frames[0, 100:110, 50:60] = np.inf
+    frames[2] = 42.0                       # constant frame
+    stack = jnp.full((n, hp, wp), np.nan, jnp.float32)  # poison pad
+    stack = stack.at[:, :h, :w].set(frames)
+    # pad content must not leak into stats, but the coarse matmul path
+    # multiplies pad cols by 0 weights, where 0*NaN=NaN — match the
+    # ingest contract (pad_stack_aligned zero-fills) for the ds check
+    stack_clean = jnp.zeros((n, hp, wp), jnp.float32).at[:, :h, :w].set(
+        frames)
+
+    ds, by, bx, mn, mx, cnt = coarse_downsample_stack(
+        stack_clean, (h, w), 512, interpret=True, with_stats=True)
+    fin = np.isfinite(frames)
+    np.testing.assert_allclose(
+        np.asarray(cnt), fin.sum(axis=(1, 2)).astype(np.float32))
+    for k in range(n):
+        np.testing.assert_allclose(np.asarray(mn)[k],
+                                   frames[k][fin[k]].min(), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mx)[k],
+                                   frames[k][fin[k]].max(), rtol=1e-6)
+    # NaN-poisoned pad: stats still exact (region-masked)
+    _, _, _, mn2, mx2, cnt2 = coarse_downsample_stack(
+        stack, (h, w), 512, interpret=True, with_stats=True)
+    np.testing.assert_allclose(np.asarray(cnt2), np.asarray(cnt))
+    np.testing.assert_allclose(np.asarray(mn2), np.asarray(mn))
+    np.testing.assert_allclose(np.asarray(mx2), np.asarray(mx))
+
+
+def test_padded_align_zeroes_constant_frame(rng):
+    """A constant target through the padded path gets offset 0 via the
+    kernel-folded _is_constant_or_zero gate."""
+    from astroburst_tpu.alignment.phase_correlation import (
+        phase_correlate_stack_padded)
+
+    h, w = 640, 1152
+    base = rng.normal(100, 3, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for sy, sx in [(100, 200), (400, 800), (300, 500)]:
+        base += 900.0 * np.exp(-((yy - sy) ** 2 + (xx - sx) ** 2) / 8.0)
+    tgts = np.stack([np.roll(np.roll(base, 3, 0), -5, 1),
+                     np.full((h, w), 7.0, np.float32)])
+    stack = np.concatenate([base[None], tgts])
+    padded = jnp.zeros((3, h + 8, w + 128), jnp.float32)
+    padded = padded.at[:, :h, :w].set(stack)
+
+    dys, dxs, confs = phase_correlate_stack_padded(
+        padded, (h, w), crop_mode="interpret", interpret=True)
+    assert float(dys[0]) == pytest.approx(3.0, abs=0.05)
+    assert float(dxs[0]) == pytest.approx(-5.0, abs=0.05)
+    assert float(dys[1]) == 0.0 and float(dxs[1]) == 0.0
+    assert float(confs[1]) == 0.0
