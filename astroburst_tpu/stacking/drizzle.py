@@ -232,7 +232,7 @@ def _finalize_exact(cand_v, cand_w, cap: int, sigma_low, sigma_high,
          static_argnames=("scale", "pixfrac", "kernel", "out_rows",
                           "out_cols", "sigma_low", "sigma_high",
                           "sigma_iterations", "band_rows", "use_pallas",
-                          "interpret"))
+                          "interpret", "block_h", "block_w"))
 def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
                           kernel: DrizzleKernel, out_rows: int,
                           out_cols: int, sigma_low: float,
@@ -240,7 +240,9 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
                           band_rows: int = 64,
                           use_pallas: bool | None = None,
                           interpret: bool = False,
-                          row0_offset=None):
+                          row0_offset=None,
+                          block_h: int | None = None,
+                          block_w: int | None = None):
     """Exact-parity drizzle: per-(frame, tap) candidate planes with the
     reference's capped push-list semantics, banded over output rows to
     bound the [n_frames·taps², rows, cols] candidate tensor.
@@ -255,9 +257,12 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
     cap = max(n * 2, 4)
     if use_pallas:
         from astroburst_tpu.stacking.drizzle_kernel import (
-            drizzle_finalize_fused)
+            BLOCK_H, drizzle_finalize_fused)
         cols_pad = -(-out_cols // 128) * 128
-        block_w = 512 if cols_pad % 512 == 0 else 128
+        if block_w is None:
+            block_w = 512 if cols_pad % 512 == 0 else 128
+        if block_h is None:
+            block_h = BLOCK_H
 
     def one_band(r0):
         # shift the output grid: band rows [r0, r0+band_rows) are the
@@ -278,7 +283,7 @@ def _drizzle_kernel_exact(stack, d_ys, d_xs, scale: float, pixfrac: float,
             img, wgt, rej = drizzle_finalize_fused(
                 cand_v, wys.T, wxs, n, taps, taps, cap, sigma_low,
                 sigma_high, sigma_iterations, interpret=interpret,
-                block_w=block_w)
+                block_h=block_h, block_w=block_w)
             return (img[:, :out_cols], wgt[:, :out_cols],
                     rej[:, :out_cols])
         parts = []

@@ -224,20 +224,18 @@ def main():
     # derived (align − coarse): the two run inside one fused program and
     # share the coarse surface. Overheads (launch + salt add) are NOT
     # subtracted, so the parts can sum past the fused total.
+    from astroburst_tpu.alignment.coarse_kernel import (
+        coarse_downsample_stack)
     from astroburst_tpu.alignment.phase_correlation import (
-        COARSE_MAX_DIM, _coarse_box_downsample, correlate_single,
-        phase_correlate_stack_traced)
+        COARSE_MAX_DIM, phase_correlate_stack_padded)
     from astroburst_tpu.imaging.stf import apply_stf_traced, auto_stf_traced
     from astroburst_tpu.ops.stats import stats_core
     from astroburst_tpu.stacking.onepass_kernel import shift_clip_onepass
 
-    view = stack[:, :H, :W]
-    ref_f = view[0]
-    tgts = view[1:]
     offsets_h = jnp.asarray(np.asarray(out["offsets"]))
     dys_h, dxs_h = offsets_h[:, 0], offsets_h[:, 1]
     combined_h = out["combined"]
-    jax.block_until_ready((ref_f, tgts, dys_h, dxs_h, combined_h))
+    jax.block_until_ready((dys_h, dxs_h, combined_h))
 
     def stage_time(call, K_=8):
         _ = float(call(0))
@@ -250,16 +248,18 @@ def main():
         return bests * 1e3
 
     @jax.jit
-    def _align_cs(r, t, eps):
-        dys, dxs, confs = phase_correlate_stack_traced(r, t)
+    def _align_cs(s, eps):
+        # the pipeline's actual align: padded-stack Pallas coarse +
+        # folded constant gate + DMA refine crops
+        dys, dxs, confs = phase_correlate_stack_padded(s, (H, W))
         return jnp.sum(dys) + jnp.sum(dxs) + jnp.sum(confs) + eps
 
     @jax.jit
-    def _coarse_cs(r, t, eps):
-        r_ds, by, bx = _coarse_box_downsample(r, COARSE_MAX_DIM)
-        t_ds, _, _ = _coarse_box_downsample(t, COARSE_MAX_DIM)
-        cdy, cdx, conf = correlate_single(r_ds, t_ds)
-        return jnp.sum(cdy) + jnp.sum(cdx) + jnp.sum(conf) + eps
+    def _coarse_cs(s, eps):
+        ds, by, bx, mn, mx, cnt = coarse_downsample_stack(
+            s, (H, W), COARSE_MAX_DIM, with_stats=True)
+        return (jnp.sum(ds[0]) + jnp.sum(ds[1:]) * 1e-3 + jnp.sum(mn)
+                + jnp.sum(cnt) * 1e-6 + eps)
 
     @jax.jit
     def _stack_cs(s, dys, dxs, eps):
@@ -280,9 +280,9 @@ def main():
 
     stage_ms = {}
     stage_ms["align"] = round(stage_time(
-        lambda i: _align_cs(ref_f, tgts, _e(i))), 2)
+        lambda i: _align_cs(stack, _e(i))), 2)
     stage_ms["coarse"] = round(stage_time(
-        lambda i: _coarse_cs(ref_f, tgts, _e(i))), 2)
+        lambda i: _coarse_cs(stack, _e(i))), 2)
     stage_ms["refine_derived"] = round(
         max(stage_ms["align"] - stage_ms["coarse"], 0.0), 2)
     stage_ms["stack"] = round(stage_time(
