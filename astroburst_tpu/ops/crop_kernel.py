@@ -46,13 +46,13 @@ def _make_kernel(n: int, frame0: int):
 
 
 @partial(jax.jit, static_argnames=("size_r", "size_c", "interpret",
-                                   "frame0", "n_crops"))
+                                   "frame0"))
 def gather_crops(stack: jax.Array, y0s: jax.Array, x0s: jax.Array,
                  size_r: int, size_c: int,
-                 interpret: bool = False, frame0: int = 0,
-                 n_crops: int | None = None) -> jax.Array:
-    """[n_crops, size_r, size_c] crops of ``stack`` [N, H, W], crop k
-    from frame ``frame0 + k`` at origin (y0s[k], x0s[k]).
+                 interpret: bool = False,
+                 frame0: int = 0) -> jax.Array:
+    """[N - frame0, size_r, size_c] crops of ``stack`` [N, H, W], crop
+    k from frame ``frame0 + k`` at origin (y0s[k], x0s[k]).
 
     Origins must be in-range ([0, H - size_r] × [0, W - size_c]) and
     (8, 128)-aligned — ``_refine_origin`` guarantees both. ``size_r``
@@ -63,10 +63,7 @@ def gather_crops(stack: jax.Array, y0s: jax.Array, x0s: jax.Array,
     would make XLA materialize a full copy of the view.
     """
     n, h, w = stack.shape
-    if n_crops is None:
-        n = n - frame0
-    else:
-        n = n_crops
+    n = n - frame0
     if size_r % 8 or size_c % 128:
         raise ValueError(f"crop size must be (8,128)-aligned, got "
                          f"({size_r},{size_c})")
