@@ -367,3 +367,39 @@ def test_padded_align_zeroes_constant_frame(rng):
     assert float(dxs[0]) == pytest.approx(-5.0, abs=0.05)
     assert float(dys[1]) == 0.0 and float(dxs[1]) == 0.0
     assert float(confs[1]) == 0.0
+
+
+def test_coarse_kernel_single_axis_boxes(rng):
+    """Degenerate box grids: wide-short planes (by=1, col boxes only)
+    and tall-narrow planes (bx=1, row boxes only) must stay exact —
+    the 0/1 band matrices degenerate to identity selections on the
+    unit axis."""
+    from astroburst_tpu.alignment.coarse_kernel import (
+        coarse_downsample_stack, plan)
+
+    # wide-short: h <= 512 < w → by=1, bx=3
+    n, h, w = 2, 400, 1200
+    hp, wp = 400, 1280
+    frames = rng.normal(50, 5, (n, h, w)).astype(np.float32)
+    stack = jnp.zeros((n, hp, wp), jnp.float32).at[:, :h, :w].set(frames)
+    assert plan(n, hp, wp, h, w, 512) is not None
+    ds, by, bx = coarse_downsample_stack(stack, (h, w), 512,
+                                         interpret=True)
+    assert (by, bx) == (1, 3)
+    want = frames[:, :, :400 * 3].reshape(n, 400, 1, 400, 3).mean(
+        axis=(2, 4))
+    np.testing.assert_allclose(np.asarray(ds), want, rtol=5e-3, atol=0.3)
+
+    # tall-narrow: w <= 512 < h → by=3, bx=1
+    h2, w2 = 1200, 400
+    hp2, wp2 = 1200, 512
+    frames2 = rng.normal(50, 5, (n, h2, w2)).astype(np.float32)
+    stack2 = jnp.zeros((n, hp2, wp2), jnp.float32).at[:, :h2, :w2].set(
+        frames2)
+    ds2, by2, bx2 = coarse_downsample_stack(stack2, (h2, w2), 512,
+                                            interpret=True)
+    assert (by2, bx2) == (3, 1)
+    want2 = frames2[:, :400 * 3].reshape(n, 400, 3, 400, 1).mean(
+        axis=(2, 4))
+    np.testing.assert_allclose(np.asarray(ds2), want2, rtol=5e-3,
+                               atol=0.3)
