@@ -442,6 +442,217 @@ def _drizzle_kernel(stack, d_ys, d_xs, scale: float, pixfrac: float,
     return image, weight_map, jnp.sum(rej_map)
 
 
+def _np_lanczos3_f32(x):
+    """numpy float32 replication of _lanczos3 (drizzle.rs:207-217)."""
+    ax = np.abs(x)
+    pi_x = (np.pi * np.where(ax < 1e-12, np.float32(1.0), x)) \
+        .astype(np.float32)
+    val = ((np.sin(pi_x) / pi_x) *
+           (np.sin(pi_x / 3.0) / (pi_x / 3.0))).astype(np.float32)
+    return np.where(ax < 1e-12, np.float32(1.0),
+                    np.where(ax >= 3.0, np.float32(0.0), val))
+
+
+def _np_axis_taps_exact(n_out: int, n_in: int, d: float, scale: float,
+                        half: float, kernel: DrizzleKernel, taps: int,
+                        base_off: int):
+    """Host numpy-f32 replication of :func:`_axis_taps_exact` — same
+    op order, so add/sub/mul/div/floor/ceil match the traced f32 path
+    bitwise (exp/sin may differ by ulps on the gaussian/lanczos
+    weights, inside the established oracle tolerances)."""
+    o = np.arange(n_out, dtype=np.float32)
+    scale32 = np.float32(scale)
+    d32 = np.float32(d)
+    half32 = np.float32(half)
+    if kernel == DrizzleKernel.SQUARE:
+        lower = (o - half32) / scale32 - d32
+    else:
+        lower = (o - np.float32(1.0) - half32) / scale32 - d32
+    base = np.floor(lower).astype(np.int32) + base_off
+    out = []
+    for t in range(taps):
+        ix = base + t
+        inside = (ix >= 0) & (ix <= n_in - 1)
+        ixf = ix.astype(np.float32)
+        c = (ixf + d32) * scale32
+        in_range = (o >= np.floor(c - half32)) & (o <= np.ceil(c + half32))
+        if kernel == DrizzleKernel.SQUARE:
+            w = np.maximum(np.minimum(c + half32, o + np.float32(1.0)) -
+                           np.maximum(c - half32, o), np.float32(0.0))
+        elif kernel == DrizzleKernel.GAUSSIAN:
+            sigma = max(half, 0.5)
+            w = np.exp(-((o + np.float32(0.5) - c) ** 2) /
+                       np.float32(2.0 * sigma * sigma)).astype(np.float32)
+        else:  # LANCZOS3
+            w = _np_lanczos3_f32(o + np.float32(0.5) - c)
+        w = np.where(inside & in_range, w, np.float32(0.0))
+        out.append((base + t, w.astype(np.float32)))
+    return out
+
+
+def _plan_parity(in_rows: int, in_cols: int, d_ys, d_xs, scale: float,
+                 pixfrac: float, kernel: DrizzleKernel, out_rows: int,
+                 out_cols: int):
+    """Parity-decomposition plan for the gather+finalize kernel
+    (stacking/drizzle_gather_kernel.py), or None when it doesn't apply.
+
+    For INTEGER scale S, output index o = S·q + p gives
+    floor((S·q + c')/S − d) = q + floor(c'/S − d) exactly, so each
+    per-(frame, tap) candidate gather is a pure shift per parity. The
+    identity is VERIFIED here against the f32 per-pixel base vectors
+    (the f32 evaluation at large o can drift across binades —
+    measured ~8 violations per 144k random configs in round 5); any
+    drift → None → the caller keeps the general banded path."""
+    s = int(round(scale))
+    if abs(scale - s) > 1e-9 or s < 1:
+        return None
+    if out_rows != in_rows * s or out_cols != in_cols * s:
+        return None
+    n = len(d_ys)
+    half = pixfrac * scale * 0.5
+    taps, base_off = _support_taps(scale, half, kernel, exact=True)
+
+    def axis_plan(n_out, n_in, ds):
+        """per-frame per-parity shifts + per-parity weight matrices
+        [S][n_out//S, n·taps], or None on f32 floor drift."""
+        n_par_ax = n_out // s
+        q = np.arange(n_par_ax)
+        shifts = np.zeros((n, s), np.int64)
+        wmats = [np.zeros((n_par_ax, n * taps), np.float32)
+                 for _ in range(s)]
+        for k, d in enumerate(ds):
+            vecs = _np_axis_taps_exact(n_out, n_in, d, scale, half,
+                                       kernel, taps, base_off)
+            for p in range(s):
+                b0 = vecs[0][0][p::s]
+                if not np.array_equal(b0, b0[0] + q):
+                    return None
+                shifts[k, p] = int(b0[0])
+                for t in range(taps):
+                    wmats[p][:, k * taps + t] = vecs[t][1][p::s]
+        return shifts, wmats
+
+    rows = axis_plan(out_rows, in_rows, d_ys)
+    if rows is None:
+        return None
+    cols = axis_plan(out_cols, in_cols, d_xs)
+    if cols is None:
+        return None
+    s_row, wy_mats = rows
+    s_col, wx_mats = cols
+
+    span_r = int(max(s_row[:, p].max() - s_row[:, p].min()
+                     for p in range(s)))
+    span_c = int(max(s_col[:, p].max() - s_col[:, p].min()
+                     for p in range(s)))
+    span_stat = -(-max(span_r, span_c, 1) // 8) * 8
+    if span_stat > 32:
+        return None  # pathological offsets — general path
+    # static, bucketed origins / bounds so typical offset jitter reuses
+    # one compiled variant (pad amounts must be trace-static)
+    org_r = -(-max(8, -int(s_row.min())) // 8) * 8
+    org_c = -(-max(128, -int(s_col.min())) // 128) * 128
+    sy_hi = -(-(org_r + max(0, int(s_row.max()))) // 8) * 8
+    sx_hi = -(-(org_c + max(0, int(s_col.max()))) // 128) * 128
+    return dict(s=s, taps=taps, s_row=s_row, s_col=s_col,
+                wy_mats=wy_mats, wx_mats=wx_mats, span=span_stat,
+                org_r=org_r, org_c=org_c, sy_hi=sy_hi, sx_hi=sx_hi,
+                h_par=out_rows // s, w_par=out_cols // s)
+
+
+def _interleave_parity(planes, s: int):
+    """[S², h, w] parity planes → [S·h, S·w]: out[S·r + pr, S·c + pc]
+    = planes[pr·S + pc][r, c]."""
+    _, h, w = planes.shape
+    r = planes.reshape(s, s, h, w)
+    return r.transpose(2, 0, 3, 1).reshape(s * h, s * w)
+
+
+@partial(jax.jit,
+         static_argnames=("s", "taps", "cap", "sigma_low", "sigma_high",
+                          "iterations", "span", "org_r", "org_c", "hp",
+                          "wp", "h_par", "w_par", "h_pad", "w_pad",
+                          "interpret", "block_h", "block_w"))
+def _parity_call(stack, sy, sx, smin, wys, wxs, s: int, taps: int,
+                 cap: int, sigma_low: float, sigma_high: float,
+                 iterations: int, span: int, org_r: int, org_c: int,
+                 hp: int, wp: int, h_par: int, w_par: int, h_pad: int,
+                 w_pad: int, interpret: bool, block_h: int, block_w: int):
+    from astroburst_tpu.stacking.drizzle_gather_kernel import (
+        drizzle_gather_finalize)
+    n, in_rows, in_cols = stack.shape
+    padded = jnp.pad(stack, ((0, 0), (org_r, hp - org_r - in_rows),
+                             (org_c, wp - org_c - in_cols)))
+    img_p, wgt_p, rej_p = drizzle_gather_finalize(
+        padded, sy, sx, smin, wys, wxs, s, n, taps, taps, cap,
+        sigma_low, sigma_high, iterations, span, span, h_pad, w_pad,
+        interpret=interpret, block_h=block_h, block_w=block_w)
+    img = _interleave_parity(img_p[:, :h_par, :w_par], s)
+    wgt = _interleave_parity(wgt_p[:, :h_par, :w_par], s)
+    return img, wgt, jnp.sum(rej_p)
+
+
+def drizzle_exact_parity(stack, d_ys, d_xs, scale: float, pixfrac: float,
+                         kernel: DrizzleKernel, out_rows: int,
+                         out_cols: int, sigma_low: float,
+                         sigma_high: float, sigma_iterations: int,
+                         interpret: bool = False,
+                         block_h: int | None = None,
+                         block_w: int | None = None):
+    """Exact drizzle via the parity-decomposed gather+finalize kernel.
+
+    ``d_ys``/``d_xs`` must be HOST values (the shift plan and its f32
+    verification run in numpy). Returns (image, weight_map, rejected)
+    or None when the fast path doesn't apply (non-integer scale, f32
+    floor drift, offsets beyond the static span bucket)."""
+    d_ys = [float(v) for v in np.asarray(d_ys)]
+    d_xs = [float(v) for v in np.asarray(d_xs)]
+    n, in_rows, in_cols = stack.shape
+    plan = _plan_parity(in_rows, in_cols, d_ys, d_xs, scale, pixfrac,
+                        kernel, out_rows, out_cols)
+    if plan is None:
+        return None
+    s, taps = plan["s"], plan["taps"]
+    if block_h is None:
+        block_h = 8
+    if block_w is None:
+        block_w = 512 if (-(-plan["w_par"] // 128) * 128) % 512 == 0 \
+            else 128
+    h_pad = -(-plan["h_par"] // block_h) * block_h
+    w_pad = -(-plan["w_par"] // block_w) * block_w
+    from astroburst_tpu.stacking.drizzle_gather_kernel import window_dims
+    f_r, f_c = window_dims(block_h, block_w, taps, taps, plan["span"],
+                           plan["span"])
+    hp = -(-max(plan["org_r"] + in_rows + taps,
+                h_pad - block_h + plan["sy_hi"] + f_r, f_r) // 8) * 8
+    wp = -(-max(plan["org_c"] + in_cols + taps,
+                w_pad - block_w + plan["sx_hi"] + f_c, f_c) // 128) * 128
+
+    # [S², n] shift tables in padded coords; smin per parity
+    sy = np.zeros((s * s, n), np.int32)
+    sx = np.zeros((s * s, n), np.int32)
+    for pr in range(s):
+        for pc in range(s):
+            par = pr * s + pc
+            sy[par] = plan["s_row"][:, pr] + plan["org_r"]
+            sx[par] = plan["s_col"][:, pc] + plan["org_c"]
+    smin = np.stack([sy.min(axis=1), sx.min(axis=1)], axis=1) \
+        .astype(np.int32)
+    wys = np.zeros((s, h_pad, n * taps), np.float32)
+    wxs = np.zeros((s, n * taps, w_pad), np.float32)
+    for p in range(s):
+        wys[p, :plan["h_par"]] = plan["wy_mats"][p]
+        wxs[p, :, :plan["w_par"]] = plan["wx_mats"][p].T
+    cap = max(n * 2, 4)
+    img, wgt, rej = _parity_call(
+        jnp.asarray(stack), jnp.asarray(sy), jnp.asarray(sx),
+        jnp.asarray(smin), jnp.asarray(wys), jnp.asarray(wxs), s, taps,
+        cap, sigma_low, sigma_high, sigma_iterations, plan["span"],
+        plan["org_r"], plan["org_c"], hp, wp, plan["h_par"],
+        plan["w_par"], h_pad, w_pad, interpret, block_h, block_w)
+    return img, wgt, rej
+
+
 @dataclass
 class DrizzleResult:
     image: jax.Array
@@ -529,10 +740,24 @@ def drizzle_stack(images: Sequence, config: DrizzleConfig = DrizzleConfig(),
     if (exact and config.kernel == DrizzleKernel.SQUARE
             and 1.0 + pixfrac * scale <= scale + 1e-9):
         exact = False
-    kernel_fn = _drizzle_kernel_exact if exact else _drizzle_kernel
-    image, weight_map, rejected = kernel_fn(
-        stack, d_ys, d_xs, scale, pixfrac, config.kernel, out_rows, out_cols,
-        config.sigma_low, config.sigma_high, config.sigma_iterations)
+    image = None
+    if exact and jax.default_backend() == "tpu":
+        # parity-decomposed gather+finalize (integer scale, host-
+        # verified shift plan) — no candidate tensor in HBM; falls
+        # through to the banded general path when inapplicable
+        res = drizzle_exact_parity(
+            stack, [-dy for _dx, dy in offsets],
+            [-dx for dx, _dy in offsets], scale, pixfrac, config.kernel,
+            out_rows, out_cols, config.sigma_low, config.sigma_high,
+            config.sigma_iterations)
+        if res is not None:
+            image, weight_map, rejected = res
+    if image is None:
+        kernel_fn = _drizzle_kernel_exact if exact else _drizzle_kernel
+        image, weight_map, rejected = kernel_fn(
+            stack, d_ys, d_xs, scale, pixfrac, config.kernel, out_rows,
+            out_cols, config.sigma_low, config.sigma_high,
+            config.sigma_iterations)
     return DrizzleResult(
         image=image, weight_map=weight_map, frame_count=len(cropped),
         output_scale=scale, input_dims=(min_rows, min_cols),

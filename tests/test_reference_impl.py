@@ -257,3 +257,80 @@ def test_drizzle_fused_finalize_kernels_and_nans(rng):
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                    atol=1e-5, err_msg=str(kern))
         assert int(gr) == int(rr), kern
+
+
+@pytest.mark.parametrize("kern", ["square", "gaussian", "lanczos3"])
+@pytest.mark.parametrize("scale", [2.0, 3.0])
+def test_drizzle_parity_gather_matches_xla(rng, kern, scale):
+    """The parity-decomposed gather+finalize kernel (integer scale,
+    host-verified shift plan, interpret mode) == the XLA exact path —
+    image, weights, rejection count — including NaN pixels, negative /
+    fractional offsets, and non-multiple-of-block frame dims."""
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.stacking.drizzle import (_drizzle_kernel_exact,
+                                                 drizzle_exact_parity)
+    kernel = {"square": DrizzleKernel.SQUARE,
+              "gaussian": DrizzleKernel.GAUSSIAN,
+              "lanczos3": DrizzleKernel.LANCZOS3}[kern]
+    frames = [rng.normal(10, 1, (14, 20)).astype(np.float32)
+              for _ in range(4)]
+    frames[1][7, 9] = 300.0
+    frames[0][3, 4] = np.nan
+    frames[2][10, 15] = np.nan
+    offs = [(0.0, 0.0), (0.4, -0.25), (-0.3, 0.6), (1.2, 0.8)]
+    stack = jnp.stack([jnp.asarray(f) for f in frames])
+    d_xs = [-o[0] for o in offs]
+    d_ys = [-o[1] for o in offs]
+    s = int(scale)
+    out_r, out_c = 14 * s, 20 * s
+    got = drizzle_exact_parity(stack, d_ys, d_xs, scale, 1.0, kernel,
+                               out_r, out_c, 3.0, 3.0, 3, interpret=True)
+    assert got is not None, "plan unexpectedly rejected"
+    gi, gw, gr = got
+    ri, rw, rr = _drizzle_kernel_exact(
+        stack, jnp.asarray(d_ys, jnp.float32),
+        jnp.asarray(d_xs, jnp.float32), scale, 1.0, kernel, out_r, out_c,
+        3.0, 3.0, 3, band_rows=8, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                               atol=2e-4, rtol=1e-6, err_msg=kern)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               atol=1e-5, err_msg=kern)
+    assert int(gr) == int(rr), kern
+
+
+def test_drizzle_parity_gather_rejects_noninteger_scale(rng):
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.stacking.drizzle import drizzle_exact_parity
+    stack = jnp.asarray(rng.normal(10, 1, (2, 8, 8)).astype(np.float32))
+    assert drizzle_exact_parity(stack, [0.0, 0.3], [0.0, -0.2], 1.5, 1.0,
+                                DrizzleKernel.SQUARE, 12, 12, 3.0, 3.0, 3,
+                                interpret=True) is None
+
+
+def test_drizzle_parity_gather_bench_shape_slice(rng):
+    """The benchmark configuration (scale=2, pixfrac=0.7, square) at a
+    reduced plane size, offsets in the bench's ±2 px range."""
+    from astroburst_tpu.dtypes import DrizzleKernel
+    from astroburst_tpu.stacking.drizzle import (_drizzle_kernel_exact,
+                                                 drizzle_exact_parity)
+    stack = jnp.asarray(rng.normal(100, 8, (10, 32, 48))
+                        .astype(np.float32))
+    d_ys = list(rng.uniform(-2, 2, 10))
+    d_xs = list(rng.uniform(-2, 2, 10))
+    got = drizzle_exact_parity(stack, d_ys, d_xs, 2.0, 0.7,
+                               DrizzleKernel.SQUARE, 64, 96, 3.0, 3.0, 5,
+                               interpret=True)
+    assert got is not None
+    gi, gw, gr = got
+    ri, rw, rr = _drizzle_kernel_exact(
+        stack, jnp.asarray(d_ys, jnp.float32),
+        jnp.asarray(d_xs, jnp.float32), 2.0, 0.7, DrizzleKernel.SQUARE,
+        64, 96, 3.0, 3.0, 5, band_rows=8, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                               atol=2e-4, rtol=1e-6)
+    # the kernel accumulates Σw sequentially in push order (the
+    # reference's own order, drizzle.rs:110-118); the XLA path
+    # tree-reduces — at m=40 terms the f32 orders diverge ~1e-5
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               atol=1e-5, rtol=2e-5)
+    assert int(gr) == int(rr)
