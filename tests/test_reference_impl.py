@@ -307,6 +307,7 @@ def test_drizzle_parity_gather_rejects_noninteger_scale(rng):
                                 interpret=True) is None
 
 
+@pytest.mark.slow
 def test_drizzle_parity_gather_bench_shape_slice(rng):
     """The benchmark configuration (scale=2, pixfrac=0.7, square) at a
     reduced plane size, offsets in the bench's ±2 px range."""
