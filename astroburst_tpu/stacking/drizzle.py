@@ -586,24 +586,37 @@ def _interleave_parity(planes, s: int):
          static_argnames=("s", "taps", "cap", "sigma_low", "sigma_high",
                           "iterations", "span", "org_r", "org_c", "hp",
                           "wp", "h_par", "w_par", "h_pad", "w_pad",
-                          "interpret", "block_h", "block_w"))
-def _parity_call(stack, sy, sx, smin, wys, wxs, s: int, taps: int,
+                          "sy_t", "sx_t", "interpret", "block_h",
+                          "block_w"))
+def _parity_call(stack, wys, wxs, s: int, taps: int,
                  cap: int, sigma_low: float, sigma_high: float,
                  iterations: int, span: int, org_r: int, org_c: int,
                  hp: int, wp: int, h_par: int, w_par: int, h_pad: int,
-                 w_pad: int, interpret: bool, block_h: int, block_w: int):
+                 w_pad: int, sy_t, sx_t, interpret: bool, block_h: int,
+                 block_w: int):
+    """sy_t/sx_t: [S²][n] nested tuples of PYTHON ints — per-parity
+    candidate start shifts, baked into each parity's compiled kernel
+    as constants (static residuals ⇒ no runtime rolls)."""
     from astroburst_tpu.stacking.drizzle_gather_kernel import (
-        drizzle_gather_finalize)
+        drizzle_gather_finalize_parity)
     n, in_rows, in_cols = stack.shape
     padded = jnp.pad(stack, ((0, 0), (org_r, hp - org_r - in_rows),
                              (org_c, wp - org_c - in_cols)))
-    img_p, wgt_p, rej_p = drizzle_gather_finalize(
-        padded, sy, sx, smin, wys, wxs, s, n, taps, taps, cap,
-        sigma_low, sigma_high, iterations, span, span, h_pad, w_pad,
-        interpret=interpret, block_h=block_h, block_w=block_w)
-    img = _interleave_parity(img_p[:, :h_par, :w_par], s)
-    wgt = _interleave_parity(wgt_p[:, :h_par, :w_par], s)
-    return img, wgt, jnp.sum(rej_p)
+    img_l, wgt_l, rej = [], [], jnp.zeros((), jnp.int32)
+    for pr in range(s):
+        for pc in range(s):
+            par = pr * s + pc
+            img_p, wgt_p, rej_p = drizzle_gather_finalize_parity(
+                padded, wys[pr], wxs[pc], sy_t[par], sx_t[par], n,
+                taps, taps, cap, sigma_low, sigma_high, iterations,
+                span, span, h_pad, w_pad, interpret=interpret,
+                block_h=block_h, block_w=block_w)
+            img_l.append(img_p[:h_par, :w_par])
+            wgt_l.append(wgt_p[:h_par, :w_par])
+            rej = rej + jnp.sum(rej_p)
+    img = _interleave_parity(jnp.stack(img_l), s)
+    wgt = _interleave_parity(jnp.stack(wgt_l), s)
+    return img, wgt, rej
 
 
 def drizzle_exact_parity(stack, d_ys, d_xs, scale: float, pixfrac: float,
@@ -642,16 +655,13 @@ def drizzle_exact_parity(stack, d_ys, d_xs, scale: float, pixfrac: float,
     wp = -(-max(plan["org_c"] + in_cols + taps,
                 w_pad - block_w + plan["sx_hi"] + f_c, f_c) // 128) * 128
 
-    # [S², n] shift tables in padded coords; smin per parity
-    sy = np.zeros((s * s, n), np.int32)
-    sx = np.zeros((s * s, n), np.int32)
-    for pr in range(s):
-        for pc in range(s):
-            par = pr * s + pc
-            sy[par] = plan["s_row"][:, pr] + plan["org_r"]
-            sx[par] = plan["s_col"][:, pc] + plan["org_c"]
-    smin = np.stack([sy.min(axis=1), sx.min(axis=1)], axis=1) \
-        .astype(np.int32)
+    # [S²][n] static shift tuples in padded coords
+    sy_t = tuple(tuple(int(v) + plan["org_r"]
+                       for v in plan["s_row"][:, pr])
+                 for pr in range(s) for _pc in range(s))
+    sx_t = tuple(tuple(int(v) + plan["org_c"]
+                       for v in plan["s_col"][:, pc])
+                 for _pr in range(s) for pc in range(s))
     wys = np.zeros((s, h_pad, n * taps), np.float32)
     wxs = np.zeros((s, n * taps, w_pad), np.float32)
     for p in range(s):
@@ -659,11 +669,11 @@ def drizzle_exact_parity(stack, d_ys, d_xs, scale: float, pixfrac: float,
         wxs[p, :, :plan["w_par"]] = plan["wx_mats"][p].T
     cap = max(n * 2, 4)
     img, wgt, rej = _parity_call(
-        jnp.asarray(stack), jnp.asarray(sy), jnp.asarray(sx),
-        jnp.asarray(smin), jnp.asarray(wys), jnp.asarray(wxs), s, taps,
+        jnp.asarray(stack), jnp.asarray(wys), jnp.asarray(wxs), s, taps,
         cap, sigma_low, sigma_high, sigma_iterations, plan["span"],
         plan["org_r"], plan["org_c"], hp, wp, plan["h_par"],
-        plan["w_par"], h_pad, w_pad, interpret, block_h, block_w)
+        plan["w_par"], h_pad, w_pad, sy_t, sx_t, interpret, block_h,
+        block_w)
     return img, wgt, rej
 
 
@@ -754,24 +764,18 @@ def drizzle_stack(images: Sequence, config: DrizzleConfig = DrizzleConfig(),
     if (exact and config.kernel == DrizzleKernel.SQUARE
             and 1.0 + pixfrac * scale <= scale + 1e-9):
         exact = False
-    image = None
-    if exact and jax.default_backend() == "tpu":
-        # parity-decomposed gather+finalize (integer scale, host-
-        # verified shift plan) — no candidate tensor in HBM; falls
-        # through to the banded general path when inapplicable
-        res = drizzle_exact_parity(
-            stack, [-dy for _dx, dy in offsets],
-            [-dx for dx, _dy in offsets], scale, pixfrac, config.kernel,
-            out_rows, out_cols, config.sigma_low, config.sigma_high,
-            config.sigma_iterations)
-        if res is not None:
-            image, weight_map, rejected = res
-    if image is None:
-        kernel_fn = _drizzle_kernel_exact if exact else _drizzle_kernel
-        image, weight_map, rejected = kernel_fn(
-            stack, d_ys, d_xs, scale, pixfrac, config.kernel, out_rows,
-            out_cols, config.sigma_low, config.sigma_high,
-            config.sigma_iterations)
+    # NOTE: the parity-decomposed gather+finalize kernel
+    # (drizzle_exact_parity) avoids the candidate tensor entirely but
+    # measured SLOWER than this banded path on the v5e at the
+    # 10×4096²→2× benchmark (229 vs 186 ms — the capped-list clip is
+    # VPU-bound either way and the banded candidate build is cheaper
+    # than the windowed gather + interleave epilogue). It stays as a
+    # tested opt-in; don't auto-route without a new measured win.
+    kernel_fn = _drizzle_kernel_exact if exact else _drizzle_kernel
+    image, weight_map, rejected = kernel_fn(
+        stack, d_ys, d_xs, scale, pixfrac, config.kernel, out_rows,
+        out_cols, config.sigma_low, config.sigma_high,
+        config.sigma_iterations)
     return DrizzleResult(
         image=image, weight_map=weight_map, frame_count=len(cropped),
         output_scale=scale, input_dims=(min_rows, min_cols),

@@ -13,18 +13,26 @@ For INTEGER scale S the output grid splits by parity o = S·q + p, and
 ``floor((S·q + c')/S - d) = q + floor(c'/S - d)`` exactly (q is an
 integer), so per (frame, output-parity) the gather collapses to a pure
 integer SHIFT ``cand[q] = frame[q + s]``. The shifts are computed and
-VERIFIED on the host in f32 (stacking/drizzle.py ``plan_parity``) —
+VERIFIED on the host in f32 (stacking/drizzle.py ``_plan_parity``) —
 any f32 floor drift at large o falls back to the general path.
 
 This kernel therefore reads the RAW padded stack straight from HBM
-(one shared multi-frame DMA per block, the one-pass stack kernel's
-pattern: aligned-floor window + positive-complement ``pltpu.roll``
-residuals + static tap slices — stacking/onepass_kernel.py) and runs
-the capped push-list finalize of stacking/drizzle_kernel.py on
-registers. No candidate tensor ever exists; HBM traffic drops to the
-windowed stack read + the output planes.
+(one shared multi-frame DMA per block) and runs the capped push-list
+finalize of stacking/drizzle_kernel.py on registers. No candidate
+tensor ever exists; HBM traffic drops to the windowed stack read +
+the output planes.
 
-Grid: (S², H_par/bh, W_par/bw) — one program per parity-plane block.
+Because the block dims (8, 512) are multiples of the (8, 128) tile,
+the window residual of every frame is COMPILE-TIME STATIC per
+(parity, frame): window start ry(i) = 8·i + ry0 with ry0 =
+8·floor(min_f sy_f / 8), so rel_y[f] = sy_f − ry0 never depends on the
+grid position. One ``pl.pallas_call`` per parity bakes the shifts in
+as constants — no runtime rolls, no scalar tables, every tap a static
+(possibly lane-unaligned) slice of the fetched window. A first
+variant kept parity as a grid dimension with runtime shift tables and
+paid ~8 µs/step in dynamic ``pltpu.roll``s and odd-shaped
+intermediates — 203 ms vs the banded path's 186 at the bench config.
+
 Weights stay the exact per-pixel per-axis vectors (w = wy·wx rank-1
 per (frame, tap)), parity-sliced on the host and streamed via
 BlockSpecs; presence = finite(v) & (w > 1e-12), push order
@@ -66,48 +74,40 @@ def window_dims(block_h: int, block_w: int, taps_y: int, taps_x: int,
 
 def _make_kernel(n: int, taps_y: int, taps_x: int, cap: int,
                  sigma_low: float, sigma_high: float, iterations: int,
-                 bh: int, bw: int, f_r: int, f_c: int, hp: int, wp: int,
-                 grid_r: int, grid_c: int):
+                 bh: int, bw: int, f_r: int, f_c: int,
+                 grid_c: int, n_steps: int, ry0: int, cx0: int,
+                 rel_y, rel_x):
+    """One parity's kernel. rel_y/rel_x are PYTHON int tuples — every
+    tap extraction is a static slice of the fetched window."""
     m = n * taps_y * taps_x
     m2 = 1 << (m - 1).bit_length()
     p = 1 << max(cap - 1, 1).bit_length()
     p = min(p, m2)
-    s_r = bh + taps_y - 1   # rows/cols the taps actually read
-    s_c = bw + taps_x - 1
 
-    def window_base(par, i, j, smin_ref):
-        ry = jnp.clip(((i * bh + smin_ref[par, 0]) // 8) * 8, 0, hp - f_r)
-        cx = jnp.clip(((j * bw + smin_ref[par, 1]) // 128) * 128,
-                      0, wp - f_c)
-        return pl.multiple_of(ry, 8), pl.multiple_of(cx, 128)
-
-    def issue(par, i, j, smin_ref, stack_hbm, scratch, sems, slot):
-        ry, cx = window_base(par, i, j, smin_ref)
+    def issue(i, j, stack_hbm, scratch, sems, slot):
+        ry = pl.multiple_of(ry0 + i * bh, 8)
+        cx = pl.multiple_of(cx0 + j * bw, 128)
         pltpu.make_async_copy(
             stack_hbm.at[:, pl.ds(ry, f_r), pl.ds(cx, f_c)],
             scratch.at[slot], sems.at[slot]).start()
 
-    def kernel(sy_ref, sx_ref, smin_ref, stack_hbm, wy_ref, wx_ref,
-               img_ref, wgt_ref, rej_ref, scratch, sems):
-        par = pl.program_id(0)
-        bi = pl.program_id(1)
-        bj = pl.program_id(2)
-        per_par = grid_r * grid_c
-        step = par * per_par + bi * grid_c + bj
-        n_steps = pl.num_programs(0) * per_par
+    def kernel(stack_hbm, wy_ref, wx_ref, img_ref, wgt_ref, rej_ref,
+               scratch, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        step = i * grid_c + j
         slot = step % 2
 
         @pl.when(step == 0)
         def _first():
-            issue(par, bi, bj, smin_ref, stack_hbm, scratch, sems, 0)
+            issue(i, j, stack_hbm, scratch, sems, 0)
 
         @pl.when(step + 1 < n_steps)
         def _prefetch():
             s1 = step + 1
-            issue(s1 // per_par, (s1 % per_par) // grid_c, s1 % grid_c,
-                  smin_ref, stack_hbm, scratch, sems, s1 % 2)
+            issue(s1 // grid_c, s1 % grid_c, stack_hbm, scratch, sems,
+                  s1 % 2)
 
-        ry, cx = window_base(par, bi, bj, smin_ref)
         pltpu.make_async_copy(scratch.at[slot], scratch.at[slot],
                               sems.at[slot]).wait()
 
@@ -118,17 +118,19 @@ def _make_kernel(n: int, taps_y: int, taps_x: int, cap: int,
         order = jnp.zeros((bh, bw), jnp.int32)
         wgt = zero
         for f in range(n):
-            # frame f's aligned (s_r, s_c) source tile: sublane roll on
-            # the full window, lane roll on the row-sliced tile
-            rr = bi * bh + sy_ref[par, f] - ry
-            cc = bj * bw + sx_ref[par, f] - cx
+            # one STATIC-amount roll per frame axis moves the frame's
+            # residual to the window origin; taps are then slices at
+            # offsets 0..taps-1 of the full-size rolled tile (cheap
+            # constant cross-vreg shifts, no odd-shaped intermediates)
             t0 = scratch[slot, f]
-            tr = pltpu.roll(t0, (f_r - (rr % f_r)) % f_r, 0)[0:s_r, :]
-            tc = pltpu.roll(tr, (f_c - (cc % f_c)) % f_c, 1)[:, 0:s_c]
+            tr = t0 if rel_y[f] == 0 else \
+                pltpu.roll(t0, (f_r - rel_y[f]) % f_r, 0)
+            tc = tr if rel_x[f] == 0 else \
+                pltpu.roll(tr, (f_c - rel_x[f]) % f_c, 1)
             for ty in range(taps_y):
-                wy = wy_ref[0, :, f * taps_y + ty]        # [bh]
+                wy = wy_ref[:, f * taps_y + ty]        # [bh]
                 for tx in range(taps_x):
-                    wx = wx_ref[0, f * taps_x + tx]       # [bw]
+                    wx = wx_ref[f * taps_x + tx]       # [bw]
                     vk = tc[ty:ty + bh, tx:tx + bw]
                     w = wy[:, None] * wx[None, :]
                     present = jnp.isfinite(vk) & (w > 1e-12)
@@ -191,41 +193,44 @@ def _make_kernel(n: int, taps_y: int, taps_x: int, cap: int,
         mean_kept = kept_sum / jnp.maximum(final_cnt.astype(jnp.float32),
                                            1.0)
         mean_all = all_sum / jnp.maximum(count0.astype(jnp.float32), 1.0)
-        img_ref[0] = jnp.where(final_cnt > 0, mean_kept,
+        img_ref[:] = jnp.where(final_cnt > 0, mean_kept,
                                jnp.where(count0 > 0, mean_all, 0.0))
-        wgt_ref[0] = wgt
-        rej_ref[0] = count0 - final_cnt
+        wgt_ref[:] = wgt
+        rej_ref[:] = count0 - final_cnt
 
     return kernel
 
 
 @partial(jax.jit,
-         static_argnames=("s", "n", "taps_y", "taps_x", "cap", "sigma_low",
-                          "sigma_high", "iterations", "span_r", "span_c",
-                          "h_par", "w_par", "interpret", "block_h",
-                          "block_w"))
-def drizzle_gather_finalize(stack_padded, sy, sx, smin, wys, wxs, s: int,
-                            n: int, taps_y: int, taps_x: int, cap: int,
-                            sigma_low: float, sigma_high: float,
-                            iterations: int, span_r: int, span_c: int,
-                            h_par: int, w_par: int,
-                            interpret: bool = False,
-                            block_h: int = BLOCK_H,
-                            block_w: int = BLOCK_W):
-    """Parity-decomposed gather+finalize.
+         static_argnames=("shifts_y", "shifts_x", "n", "taps_y", "taps_x",
+                          "cap", "sigma_low", "sigma_high", "iterations",
+                          "span_r", "span_c", "h_par", "w_par",
+                          "interpret", "block_h", "block_w"))
+def drizzle_gather_finalize_parity(stack_padded, wy, wx, shifts_y,
+                                   shifts_x, n: int, taps_y: int,
+                                   taps_x: int, cap: int,
+                                   sigma_low: float, sigma_high: float,
+                                   iterations: int, span_r: int,
+                                   span_c: int, h_par: int, w_par: int,
+                                   interpret: bool = False,
+                                   block_h: int = BLOCK_H,
+                                   block_w: int = BLOCK_W):
+    """ONE parity plane's gather+finalize.
 
-    stack_padded: [n, Hp, Wp] raw frames at origin (org_r, org_c) — the
-        planner's shift arrays already include the origin.
-    sy, sx: [S², n] i32 — per (parity, frame) candidate start index
-        (row/col of tap 0 for output q = 0, in padded coords).
-    smin: [S², 2] i32 — per-parity min over frames of (sy, sx).
-    wys: [S, h_par, n·taps_y] f32 — row-parity tap weights (transposed
-        so the streamed block's minor dim is the full array dim).
-    wxs: [S, n·taps_x, w_par] f32 — col-parity tap weights.
-    span_r/span_c: static bound ≥ max(sy) − min(sy) within any parity.
+    stack_padded: [n, Hp, Wp] raw frames at the planner's origin — the
+        shift tuples already include it.
+    wy: [h_pad, n·taps_y] f32 — this parity's row tap weights
+        (transposed so the streamed block's minor dim is the full
+        array dim, which the Mosaic block constraint allows).
+    wx: [n·taps_x, w_pad] f32 — this parity's col tap weights.
+    shifts_y, shifts_x: length-n PYTHON int tuples — candidate start
+        index of tap 0 for output q = 0, in padded coords. Static:
+        they parameterize the compiled kernel.
+    span_r/span_c: static bound ≥ max(shift) − min(shift) across the
+        frames of any parity (shared across parities so all S² calls
+        reuse one window geometry → one Mosaic variant family).
 
-    Returns (img, wgt [S², h_par, w_par] f32, rej [S², h_par, w_par]
-    i32) — parity planes; the caller interleaves.
+    Returns (img, wgt [h_par, w_par] f32, rej [h_par, w_par] i32).
     """
     _, hp, wp = stack_padded.shape
     f_r, f_c = window_dims(block_h, block_w, taps_y, taps_x,
@@ -236,28 +241,44 @@ def drizzle_gather_finalize(stack_padded, sy, sx, smin, wys, wxs, s: int,
     if h_par % block_h or w_par % block_w:
         raise ValueError(f"parity plane {h_par}x{w_par} not divisible "
                          f"by block ({block_h},{block_w})")
-    n_par = s * s
-    grid = (n_par, h_par // block_h, w_par // block_w)
+    if block_h % 8 or block_w % 128:
+        raise ValueError("block dims must be (8,128)-aligned for the "
+                         "static-residual scheme")
+    ry0 = 8 * (min(shifts_y) // 8)
+    cx0 = 128 * (min(shifts_x) // 128)
+    rel_y = tuple(s - ry0 for s in shifts_y)
+    rel_x = tuple(s - cx0 for s in shifts_x)
+    if max(rel_y) + taps_y - 1 + block_h > f_r:
+        raise ValueError("row window too small for shift residuals")
+    if max(rel_x) + taps_x - 1 + block_w > f_c:
+        raise ValueError("col window too small for shift residuals")
+    if ry0 < 0 or cx0 < 0:
+        raise ValueError("negative window origin — planner origin must "
+                         "cover the most negative shift")
+    # the last block's window must stay in bounds WITHOUT clamping
+    # (static starts ⇒ no runtime clip)
+    if ry0 + (h_par - block_h) + f_r > hp:
+        raise ValueError("padded stack too short for the last row block")
+    if cx0 + (w_par - block_w) + f_c > wp:
+        raise ValueError("padded stack too narrow for the last col block")
+
+    grid = (h_par // block_h, w_par // block_w)
     kernel = _make_kernel(n, taps_y, taps_x, cap, sigma_low, sigma_high,
-                          iterations, block_h, block_w, f_r, f_c, hp, wp,
-                          grid[1], grid[2])
+                          iterations, block_h, block_w, f_r, f_c,
+                          grid[1], grid[0] * grid[1], ry0, cx0,
+                          rel_y, rel_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=0,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, block_h, n * taps_y),
-                         lambda par, i, j, *_: (par // s, i, 0)),
-            pl.BlockSpec((1, n * taps_x, block_w),
-                         lambda par, i, j, *_: (par % s, 0, j)),
+            pl.BlockSpec((block_h, n * taps_y), lambda i, j: (i, 0)),
+            pl.BlockSpec((n * taps_x, block_w), lambda i, j: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_h, block_w),
-                         lambda par, i, j, *_: (par, i, j)),
-            pl.BlockSpec((1, block_h, block_w),
-                         lambda par, i, j, *_: (par, i, j)),
-            pl.BlockSpec((1, block_h, block_w),
-                         lambda par, i, j, *_: (par, i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j: (i, j)),
+            pl.BlockSpec((block_h, block_w), lambda i, j: (i, j)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, n, f_r, f_c), jnp.float32),
@@ -268,10 +289,10 @@ def drizzle_gather_finalize(stack_padded, sy, sx, smin, wys, wxs, s: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_par, h_par, w_par), jnp.float32),
-            jax.ShapeDtypeStruct((n_par, h_par, w_par), jnp.float32),
-            jax.ShapeDtypeStruct((n_par, h_par, w_par), jnp.int32),
+            jax.ShapeDtypeStruct((h_par, w_par), jnp.float32),
+            jax.ShapeDtypeStruct((h_par, w_par), jnp.float32),
+            jax.ShapeDtypeStruct((h_par, w_par), jnp.int32),
         ],
         interpret=interpret,
-    )(sy, sx, smin, stack_padded, wys, wxs)
+    )(stack_padded, wy, wx)
     return img, wgt, rej
