@@ -260,7 +260,8 @@ def test_drizzle_fused_finalize_kernels_and_nans(rng):
 
 
 @pytest.mark.parametrize("kern", ["square", "gaussian", "lanczos3"])
-@pytest.mark.parametrize("scale", [2.0, 3.0])
+@pytest.mark.parametrize("scale", [
+    2.0, pytest.param(3.0, marks=pytest.mark.slow)])
 def test_drizzle_parity_gather_matches_xla(rng, kern, scale):
     """The parity-decomposed gather+finalize kernel (integer scale,
     host-verified shift plan, interpret mode) == the XLA exact path —
